@@ -1,0 +1,130 @@
+"""Matrix caching: save/restore of the preprocessed CSX tables.
+
+Parity with the reference persistence layer (``include/sparsex/internals/
+CsxSaveRestore.hpp:76-369``: boost binary serialization of the per-thread
+CSX + re-JIT on restore).  Here the archive is a single ``.npz`` holding
+every shard's tables plus a JSON metadata record; "re-JIT" is re-tracing —
+executors are rebuilt from the tables on restore and XLA recompiles (and
+caches) on first use, exactly like the reference regenerates ``spmv_fn``
+from the saved ``id_map``.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional, Tuple
+
+import numpy as np
+
+from sparsex_tpu.csx import CsxMatrix
+from sparsex_tpu.errors import ErrorCode, seterror
+from sparsex_tpu.ops.exec import CsxExecutor
+from sparsex_tpu.parallel.partition import RowPartition
+from sparsex_tpu.preprocess.encodings import EncType
+from sparsex_tpu.preprocess.tables import (
+    BlockTable, CsxTables, DeltaTable, RunTable,
+)
+
+_MAGIC = "sparsex_tpu-csx-v1"
+
+
+def save_csx(mat: CsxMatrix, filename: str,
+             permutation: Optional[np.ndarray] = None) -> None:
+    """``spx_mat_save`` parity (ref ``src/api/matvec.c:409``)."""
+    arrays = {}
+    meta = {
+        "magic": _MAGIC,
+        "nrows": mat.nrows,
+        "ncols": mat.ncols,
+        "nnz": mat.nnz,
+        "symmetric": mat.symmetric,
+        "nshards": len(mat.shards),
+        "shards": [],
+    }
+    for i, t in enumerate(mat.shards):
+        smeta = {
+            "nrows": t.nrows, "ncols": t.ncols, "nnz": t.nnz,
+            "row_start": t.row_start,
+            "has_delta": t.delta is not None,
+            "runs": [{"enc": int(r.enc), "delta": r.delta} for r in t.runs],
+            "blocks": [{"enc": int(b.enc)} for b in t.blocks],
+        }
+        meta["shards"].append(smeta)
+        if t.delta is not None:
+            arrays[f"s{i}_d_rowptr"] = t.delta.rowptr
+            arrays[f"s{i}_d_cols"] = t.delta.cols
+            arrays[f"s{i}_d_vals"] = t.delta.vals
+            arrays[f"s{i}_d_rowids"] = t.delta.row_ids
+        for j, r in enumerate(t.runs):
+            arrays[f"s{i}_r{j}_rows"] = r.rows
+            arrays[f"s{i}_r{j}_cols"] = r.cols
+            arrays[f"s{i}_r{j}_sizes"] = r.sizes
+            arrays[f"s{i}_r{j}_vals"] = r.vals
+        for j, b in enumerate(t.blocks):
+            arrays[f"s{i}_b{j}_rows"] = b.rows
+            arrays[f"s{i}_b{j}_cols"] = b.cols
+            arrays[f"s{i}_b{j}_vals"] = b.vals
+    if permutation is not None:
+        arrays["permutation"] = np.asarray(permutation)
+    if mat.partition is not None:
+        meta["partition"] = {
+            "row_start": list(mat.partition.row_start),
+            "row_end": list(mat.partition.row_end),
+            "nnz": list(mat.partition.nnz_per_part),
+        }
+    arrays["meta"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8)
+    try:
+        np.savez_compressed(filename, **arrays)
+    except OSError as e:
+        seterror(ErrorCode.SPX_ERR_FILE_WRITE, f"cannot write {filename}: {e}")
+
+
+def restore_csx(filename: str) -> Tuple[CsxMatrix, Optional[np.ndarray]]:
+    """``spx_mat_restore`` parity (ref ``src/api/matvec.c:427``)."""
+    try:
+        with np.load(filename) as data:
+            arrays = {k: data[k] for k in data.files}
+    except OSError as e:
+        seterror(ErrorCode.SPX_ERR_FILE_READ, f"cannot read {filename}: {e}")
+    try:
+        meta = json.loads(bytes(arrays["meta"]).decode("utf-8"))
+        assert meta["magic"] == _MAGIC
+    except Exception:
+        seterror(ErrorCode.SPX_ERR_FILE_READ,
+                 f"{filename} is not a sparsex_tpu CSX archive")
+
+    mat = CsxMatrix(nrows=meta["nrows"], ncols=meta["ncols"],
+                    nnz=meta["nnz"], symmetric=meta["symmetric"])
+    for i, smeta in enumerate(meta["shards"]):
+        delta = None
+        if smeta["has_delta"]:
+            delta = DeltaTable(
+                rowptr=arrays[f"s{i}_d_rowptr"],
+                cols=arrays[f"s{i}_d_cols"],
+                vals=arrays[f"s{i}_d_vals"],
+                row_ids=arrays[f"s{i}_d_rowids"],
+            )
+        runs = [RunTable(enc=EncType(rm["enc"]), delta=rm["delta"],
+                         rows=arrays[f"s{i}_r{j}_rows"],
+                         cols=arrays[f"s{i}_r{j}_cols"],
+                         sizes=arrays[f"s{i}_r{j}_sizes"],
+                         vals=arrays[f"s{i}_r{j}_vals"])
+                for j, rm in enumerate(smeta["runs"])]
+        blocks = [BlockTable(enc=EncType(bm["enc"]),
+                             rows=arrays[f"s{i}_b{j}_rows"],
+                             cols=arrays[f"s{i}_b{j}_cols"],
+                             vals=arrays[f"s{i}_b{j}_vals"])
+                  for j, bm in enumerate(smeta["blocks"])]
+        tables = CsxTables(nrows=smeta["nrows"], ncols=smeta["ncols"],
+                           nnz=smeta["nnz"], row_start=smeta["row_start"],
+                           delta=delta, runs=runs, blocks=blocks)
+        mat.shards.append(tables)
+        mat.executors.append(CsxExecutor(tables))  # re-trace == re-JIT
+    if "partition" in meta:
+        p = meta["partition"]
+        mat.partition = RowPartition(
+            nparts=len(p["row_start"]), row_start=p["row_start"],
+            row_end=p["row_end"], nnz_per_part=p["nnz"])
+    perm = arrays.get("permutation")
+    return mat, perm

@@ -1,0 +1,323 @@
+"""Encoding selection and extraction — the EncodingManager equivalent.
+
+Parity with ``include/sparsex/internals/EncodingManager.hpp``:
+
+- ``gen_type_stats``  <-> ``GenerateStats``/``GenAllStats`` (:707-813) with
+  uniform window sampling (``SelectSplits`` :1489-1516) and scale-up;
+- ``type_score``      <-> ``GetTypeScore`` (:836-861): ``ratio`` counts
+  ``encoded - patterns``; ``cost`` additionally charges one dispatch switch
+  per unit (the TPU analogue: every unit has fixed head/index overhead);
+- coverage filtering  <-> ``CoverageFilter`` (``Statistics.hpp:697-756``),
+  dropping instantiations below ``min_coverage`` of the partition nnz;
+- block splitting     <-> ``BlockSplitter`` (``Statistics.cpp:50-88``), here
+  a dominant-second-dim split that keeps device tables uniform;
+- ``encode_all``      <-> ``EncodeAll`` (:905-960): greedy pick-best-encode
+  loop until no type scores > 0;
+- ``encode_serial``   <-> ``EncodeSerial`` (:962-986): user-forced sequence
+  with optional explicit deltas.
+
+The element pool starts as the partition's singles; each encode pass removes
+the covered elements and appends unit tables, so later passes only mine what
+remains (encoded patterns are opaque to further encoding, as in the
+reference).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from sparsex_tpu.config import Config
+from sparsex_tpu.logger import log_info, log_verbose
+from sparsex_tpu.preprocess.encodings import EncType, EncodingSequence, expand_types
+from sparsex_tpu.preprocess.mining import (
+    BlockRuns, MiningResult, mine_blocks, mine_runs, split_block_runs,
+)
+from sparsex_tpu.preprocess.tables import (
+    BlockTable, CsxTables, DeltaTable, RunTable, pack_run_units,
+)
+from sparsex_tpu.preprocess.xform import from_xform, to_xform
+from sparsex_tpu.timing import TimerCollection
+
+
+@dataclass
+class InstStats:
+    """StatsData parity: nnz encoded + number of pattern units."""
+
+    encoded: int = 0
+    patterns: int = 0
+
+
+class Encoder:
+    """Per-partition encoding pipeline (rows are partition-local)."""
+
+    def __init__(self, nrows: int, ncols: int, rows, cols, vals,
+                 config: Optional[Config] = None):
+        self.cfg = config or Config.instance()
+        self.nrows = int(nrows)
+        self.ncols = int(ncols)
+        order = np.lexsort((cols, rows))
+        self.rows = np.asarray(rows, dtype=np.int64)[order]
+        self.cols = np.asarray(cols, dtype=np.int64)[order]
+        self.vals = np.asarray(vals)[order]
+        self.nnz_total = int(self.rows.size)
+        self.run_tables: List[RunTable] = []
+        self.block_tables: List[BlockTable] = []
+        self.encoded_types: List[EncType] = []
+        self.timers = TimerCollection()
+        self.encoding_log: List[str] = []
+
+    # ------------------------------------------------------------------
+    # statistics
+    # ------------------------------------------------------------------
+    def _sample_indices(self) -> Optional[np.ndarray]:
+        """Uniform window sampling over the current singles (portion mode);
+        window mode uses fixed-size windows.  Returns None for full stats."""
+        cfg = self.cfg
+        n = self.rows.size
+        if cfg.sampling == "none" or n == 0:
+            return None
+        nr_samples = cfg.nr_samples
+        if cfg.sampling == "window" and cfg.window_size > 0:
+            win = min(int(cfg.window_size), n)
+        else:
+            win = int(np.ceil(cfg.sampling_portion * n / max(1, nr_samples)))
+            win = max(win, 4 * cfg.min_unit_size)
+        if win * nr_samples >= n:
+            return None  # sampling covers everything: use full stats
+        starts = np.linspace(0, n - win, nr_samples).astype(np.int64)
+        idx = (starts[:, None] + np.arange(win)[None, :]).ravel()
+        return np.unique(idx)
+
+    def _mine(self, t: EncType, rows: np.ndarray, cols: np.ndarray,
+              allowed_deltas: Optional[Sequence[int]] = None) -> MiningResult:
+        trows, tcols = to_xform(t, rows, cols, self.nrows, self.ncols)
+        if t.is_block:
+            return mine_blocks(trows, tcols, align=t.block_alignment)
+        return mine_runs(
+            trows, tcols,
+            min_limit=self.cfg.min_unit_size,
+            max_limit=self.cfg.max_unit_size,
+            allowed_deltas=(np.asarray(list(allowed_deltas))
+                            if allowed_deltas is not None else None),
+        )
+
+    def gen_type_stats(self, t: EncType,
+                       sample_idx: Optional[np.ndarray] = None
+                       ) -> Dict[int, InstStats]:
+        rows, cols = self.rows, self.cols
+        scale = 1.0
+        if sample_idx is not None and sample_idx.size:
+            rows, cols = rows[sample_idx], cols[sample_idx]
+            scale = self.rows.size / max(1, sample_idx.size)
+        res = self._mine(t, rows, cols)
+        stats: Dict[int, InstStats] = {}
+        if t.is_block:
+            if res.block_runs is not None:
+                br = res.block_runs
+                for k in np.unique(br.other_dims):
+                    m = br.other_dims == k
+                    s = stats.setdefault(int(k), InstStats())
+                    s.encoded += int(scale * m.sum() * k * br.align)
+                    s.patterns += int(np.ceil(scale * m.sum()))
+        else:
+            for ru in res.runs:
+                s = stats.setdefault(ru.delta, InstStats())
+                s.encoded += int(scale * ru.sizes.sum())
+                s.patterns += int(np.ceil(scale * ru.heads.size))
+        return stats
+
+    def _filter_coverage(self, stats: Dict[int, InstStats]) -> Dict[int, InstStats]:
+        min_cov = self.cfg.min_coverage
+        thresh = min_cov * max(1, self.nnz_total)
+        return {d: s for d, s in stats.items() if s.encoded >= thresh}
+
+    def type_score(self, t: EncType, stats: Dict[int, InstStats]) -> int:
+        """GetTypeScore parity (ref EncodingManager.hpp:836-861)."""
+        score = 0
+        for s in stats.values():
+            if self.cfg.heuristic == "cost":
+                score += max(0, s.encoded - 2 * s.patterns)
+            else:
+                score += max(0, s.encoded - s.patterns)
+        return score
+
+    # ------------------------------------------------------------------
+    # encoding (extraction)
+    # ------------------------------------------------------------------
+    def _extract_runs(self, t: EncType, res: MiningResult) -> None:
+        """Turn mined run units into RunTables and remove covered singles."""
+        order = res.order
+        vals_sorted = self.vals[order]
+        covered = res.covered
+        for ru in res.runs:
+            if ru.heads.size == 0:
+                continue
+            smax = int(ru.sizes.max())
+            lane = np.arange(smax, dtype=np.int64)
+            idx = np.minimum(ru.heads[:, None] + lane[None, :],
+                             vals_sorted.size - 1)
+            mask = lane[None, :] < ru.sizes[:, None]
+            padded = np.where(mask, vals_sorted[idx], 0).astype(self.vals.dtype)
+            hr, hc = from_xform(t, res.trows[ru.heads], res.tcols[ru.heads],
+                                self.nrows, self.ncols)
+            self.run_tables.extend(pack_run_units(
+                t, ru.delta, hr, hc, ru.sizes, padded,
+                value_dtype=self.cfg.value_dtype,
+                index_dtype=self.cfg.index_dtype))
+        keep = ~covered
+        self.rows = self.rows[order][keep]
+        self.cols = self.cols[order][keep]
+        self.vals = vals_sorted[keep]
+        self._resort()
+
+    def _extract_blocks(self, t: EncType, res: MiningResult) -> None:
+        br = res.block_runs
+        if br is None or br.heads.size == 0:
+            return
+        align = br.align
+        kmax = max(2, self.cfg.max_unit_size // align)
+        order = res.order
+        vals_sorted = self.vals[order]
+        m = vals_sorted.size
+        covered = np.zeros(m, dtype=bool)
+
+        runs_left = BlockRuns(align=align, heads=br.heads.copy(),
+                              other_dims=br.other_dims.copy())
+        while True:
+            if self.cfg.split_blocks:
+                heads, sizes, k = split_block_runs(runs_left, kmax)
+            else:
+                k = int(min(int(runs_left.other_dims.max()), kmax))
+                heads, sizes, k = split_block_runs(runs_left, kmax,
+                                                   dominant_k=k)
+            if heads.size == 0 or k < 2:
+                break
+            span = k * align
+            idx = heads[:, None] + np.arange(span, dtype=np.int64)[None, :]
+            ublock = vals_sorted[np.minimum(idx, m - 1)]
+            # tcol order is (outer, inner) = (other_dim, align); reshape and
+            # orient so vals are (U, row_extent, col_extent) row-major.
+            if t.is_block_row:
+                v3 = ublock.reshape(-1, k, align).transpose(0, 2, 1)  # (U,R,k)
+            else:
+                v3 = ublock.reshape(-1, k, align)  # (U,k,C)
+            htr, htc = res.trows[heads], res.tcols[heads]
+            hr, hc = from_xform(t, htr, htc, self.nrows, self.ncols)
+            self.block_tables.append(BlockTable(
+                enc=t,
+                rows=hr.astype(self.cfg.index_dtype),
+                cols=hc.astype(self.cfg.index_dtype),
+                vals=v3.astype(self.cfg.value_dtype),
+            ))
+            diff = np.zeros(m + 1, dtype=np.int64)
+            np.add.at(diff, heads, 1)
+            np.add.at(diff, heads + span, -1)
+            covered |= np.cumsum(diff[:-1]) > 0
+            # Remainder columns (other_dims % k) of each run could form
+            # smaller blocks; fold them back as new shorter runs.
+            rem = runs_left.other_dims % k
+            used = (runs_left.other_dims // k) * k
+            keep_rem = rem >= 2
+            if not keep_rem.any():
+                break
+            runs_left = BlockRuns(
+                align=align,
+                heads=(runs_left.heads + used * align)[keep_rem],
+                other_dims=rem[keep_rem],
+            )
+
+        keep = ~covered
+        self.rows = self.rows[order][keep]
+        self.cols = self.cols[order][keep]
+        self.vals = vals_sorted[keep]
+        self._resort()
+
+    def _resort(self) -> None:
+        order = np.lexsort((self.cols, self.rows))
+        self.rows, self.cols = self.rows[order], self.cols[order]
+        self.vals = self.vals[order]
+
+    def encode_type(self, t: EncType,
+                    allowed_deltas: Optional[Sequence[int]] = None) -> None:
+        if t == EncType.NONE or self.rows.size == 0:
+            return
+        res = self._mine(t, self.rows, self.cols, allowed_deltas)
+        if t.is_block:
+            self._extract_blocks(t, res)
+        else:
+            self._extract_runs(t, res)
+        self.encoded_types.append(t)
+
+    # ------------------------------------------------------------------
+    # selection loops
+    # ------------------------------------------------------------------
+    def _candidate_types(self) -> List[EncType]:
+        seq = EncodingSequence(self.cfg.xform, self.cfg.one_dim_blocks)
+        seen = set(self.encoded_types)
+        return [t for t in seq.types() if t not in seen and t != EncType.NONE]
+
+    def encode_all(self) -> None:
+        """Greedy loop (EncodeAll parity, ref EncodingManager.hpp:905-960)."""
+        self.timers.start_timer("Total")
+        while self.rows.size:
+            sample_idx = self._sample_indices()
+            best_t, best_score, best_stats = EncType.NONE, 0, None
+            self.timers.start_timer("Stats")
+            for t in self._candidate_types():
+                stats = self._filter_coverage(
+                    self.gen_type_stats(t, sample_idx))
+                score = self.type_score(t, stats)
+                log_verbose("stats %s: %s score=%d", t.name,
+                            {d: (s.encoded, s.patterns)
+                             for d, s in stats.items()}, score)
+                if score > best_score:
+                    best_t, best_score, best_stats = t, score, stats
+            self.timers.pause_timer("Stats")
+            if best_t == EncType.NONE:
+                break
+            self.timers.start_timer("Encode")
+            allowed = (None if best_t.is_block
+                       else sorted(best_stats.keys()))
+            log_info("Encode to %s", best_t.name)
+            self.encoding_log.append(best_t.name)
+            self.encode_type(best_t, allowed)
+            self.timers.pause_timer("Encode")
+        self.timers.pause_timer("Total")
+
+    def encode_serial(self, seq: EncodingSequence) -> None:
+        """EncodeSerial parity: forced sequence with explicit deltas."""
+        for t, deltas in seq:
+            if t == EncType.NONE:
+                continue
+            self.encoding_log.append(t.name)
+            self.encode_type(t, deltas if deltas else None)
+
+    def encode(self) -> None:
+        """Entry point: explicit-delta sequences force serial encoding."""
+        seq = EncodingSequence(self.cfg.xform, self.cfg.one_dim_blocks)
+        if seq.explicit:
+            self.encode_serial(seq)
+        else:
+            self.encode_all()
+
+    # ------------------------------------------------------------------
+    def finalize(self, row_start: int = 0) -> CsxTables:
+        """Package leftovers as the delta (CSR) table and emit CsxTables."""
+        idt = self.cfg.index_dtype
+        rowptr = np.zeros(self.nrows + 1, dtype=np.int64)
+        np.add.at(rowptr, self.rows + 1, 1)
+        rowptr = np.cumsum(rowptr)
+        delta = DeltaTable(
+            rowptr=rowptr.astype(idt),
+            cols=self.cols.astype(idt),
+            vals=self.vals.astype(self.cfg.value_dtype),
+            row_ids=self.rows.astype(idt),
+        )
+        return CsxTables(
+            nrows=self.nrows, ncols=self.ncols, nnz=self.nnz_total,
+            row_start=row_start, delta=delta,
+            runs=self.run_tables, blocks=self.block_tables,
+        )

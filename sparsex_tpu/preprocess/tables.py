@@ -1,0 +1,189 @@
+"""CSX physical format: per-pattern SoA unit tables.
+
+This is the TPU-native replacement for the reference's ``ctl`` byte stream
+(``include/sparsex/internals/Csx.hpp:29-81``, ``CtlUtil.hpp:46-67``).  The
+ctl stream is a sequential, branchy decode — hostile to TPU vector units —
+so the same *logical* content (pattern type, head coordinates, unit size,
+delta, values) is stored as dense structure-of-arrays tables, one table per
+pattern instantiation, each of which lowers to a single vectorized kernel:
+
+- ``DeltaTable``  — leftover singletons, CSR-style (ref ``delta_tmpl.c``);
+- ``RunTable``    — horizontal / vertical / diagonal / anti-diagonal units
+  with stride ``delta`` (ref ``horiz_tmpl.c``/``vert_tmpl.c``/``diag_tmpl.c``
+  /``rdiag_tmpl.c``), value rows padded to the table width;
+- ``BlockTable``  — dense ``br x bc`` blocks (ref ``block_row_tmpl.c``,
+  ``block_col_tmpl.c``) executed as a batched matvec on the MXU.
+
+Units inside a ``RunTable`` are bucketed by padded width (next power of two)
+to cap padding waste; padded lanes hold zero values and clamped indices so
+they contribute exactly zero.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from sparsex_tpu.preprocess.encodings import EncType
+from sparsex_tpu.preprocess.xform import run_step
+
+
+@dataclass
+class DeltaTable:
+    """Leftover singles: CSR arrays over the partition's rows."""
+
+    rowptr: np.ndarray  # (nrows_part + 1,)
+    cols: np.ndarray    # (nnz,)
+    vals: np.ndarray    # (nnz,)
+    row_ids: np.ndarray  # (nnz,) expanded row index (sorted) — segment ids
+
+    @property
+    def nnz(self) -> int:
+        return int(self.cols.size)
+
+    def nbytes(self) -> int:
+        return self.cols.nbytes + self.vals.nbytes + self.rowptr.nbytes
+
+
+@dataclass
+class RunTable:
+    """Constant-stride run units for one (type, delta, padded width)."""
+
+    enc: EncType
+    delta: int
+    rows: np.ndarray   # (U,) head row
+    cols: np.ndarray   # (U,) head col
+    sizes: np.ndarray  # (U,) true unit sizes (<= width)
+    vals: np.ndarray   # (U, width) zero-padded values
+
+    @property
+    def width(self) -> int:
+        return int(self.vals.shape[1]) if self.vals.size else 0
+
+    @property
+    def nnz(self) -> int:
+        return int(self.sizes.sum())
+
+    def nbytes(self) -> int:
+        return (self.rows.nbytes + self.cols.nbytes + self.sizes.nbytes
+                + self.vals.nbytes)
+
+
+@dataclass
+class BlockTable:
+    """Dense br x bc block units (row-extent br, col-extent bc)."""
+
+    enc: EncType
+    rows: np.ndarray  # (U,) top row
+    cols: np.ndarray  # (U,) left col
+    vals: np.ndarray  # (U, br, bc)
+
+    @property
+    def br(self) -> int:
+        return int(self.vals.shape[1])
+
+    @property
+    def bc(self) -> int:
+        return int(self.vals.shape[2])
+
+    @property
+    def nnz(self) -> int:
+        return int(self.vals.shape[0] * self.br * self.bc)
+
+    def nbytes(self) -> int:
+        return self.rows.nbytes + self.cols.nbytes + self.vals.nbytes
+
+
+@dataclass
+class CsxTables:
+    """The complete encoded partition: one delta table + pattern tables.
+
+    Plays the role of the per-thread ``CsxMatrix`` (ref ``Csx.hpp:29-81``).
+    ``row_start``/``nr_rows`` delimit the owned row range in the global
+    matrix (rows in the tables are partition-local).
+    """
+
+    nrows: int
+    ncols: int
+    nnz: int
+    row_start: int
+    delta: Optional[DeltaTable]
+    runs: List[RunTable] = field(default_factory=list)
+    blocks: List[BlockTable] = field(default_factory=list)
+
+    def csx_size(self) -> int:
+        """Compressed footprint in bytes (ref ``CsxUtil.hpp:117-180``)."""
+        total = self.delta.nbytes() if self.delta else 0
+        for t in self.runs:
+            total += t.nbytes()
+        for t in self.blocks:
+            total += t.nbytes()
+        return total
+
+    def signature(self) -> tuple:
+        """Static trace signature: table kinds/shapes determine compiled code."""
+        sig = [("delta", self.delta.nnz if self.delta else 0)]
+        for t in self.runs:
+            sig.append(("run", int(t.enc), t.delta, t.width, t.rows.size))
+        for t in self.blocks:
+            sig.append(("block", int(t.enc), t.br, t.bc, t.rows.size))
+        return tuple(sig)
+
+    def pattern_nnz(self) -> int:
+        return sum(t.nnz for t in self.runs) + sum(t.nnz for t in self.blocks)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length())
+
+
+def pack_run_units(enc: EncType, delta: int, heads_r: np.ndarray,
+                   heads_c: np.ndarray, sizes: np.ndarray,
+                   unit_vals: List[np.ndarray], *, value_dtype,
+                   index_dtype, bucket: bool = True) -> List[RunTable]:
+    """Pad run units into width-bucketed tables.
+
+    ``unit_vals`` is a single (U, S_max) zero-padded array or a list of 1-D
+    arrays; bucketing groups units by next-power-of-two of their size.
+    """
+    sizes = np.asarray(sizes, dtype=np.int64)
+    if sizes.size == 0:
+        return []
+    if isinstance(unit_vals, np.ndarray):
+        padded = unit_vals
+    else:
+        smax = int(sizes.max())
+        padded = np.zeros((sizes.size, smax), dtype=value_dtype)
+        for i, v in enumerate(unit_vals):
+            padded[i, : v.size] = v
+    tables: List[RunTable] = []
+    if bucket:
+        # Power-of-two width buckets starting at 4 (vectorized).
+        buckets = 4 << np.arange(0, 16, dtype=np.int64)
+        widths = buckets[np.searchsorted(buckets, sizes, side="left")]
+        # Never bucket wider than the largest true size.
+        widths = np.minimum(widths, int(sizes.max()))
+    else:
+        widths = np.full(sizes.shape, int(sizes.max()))
+    for w in np.unique(widths):
+        mask = widths == w
+        w = int(min(w, padded.shape[1]))
+        tables.append(RunTable(
+            enc=enc, delta=int(delta),
+            rows=heads_r[mask].astype(index_dtype),
+            cols=heads_c[mask].astype(index_dtype),
+            sizes=sizes[mask].astype(index_dtype),
+            vals=np.ascontiguousarray(
+                padded[mask][:, :w]).astype(value_dtype),
+        ))
+    return tables
+
+
+def run_unit_coords(enc: EncType, delta: int, width: int):
+    """(dr, dc) per-lane offsets: lane j of a unit touches
+    (row + dr*j, col + dc*j)."""
+    sr, sc = run_step(enc)
+    j = np.arange(width, dtype=np.int64)
+    return sr * delta * j, sc * delta * j

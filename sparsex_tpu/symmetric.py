@@ -1,0 +1,249 @@
+"""Symmetric CSX (CSX-Sym).
+
+Parity with the reference symmetric pipeline: storage of the strict lower
+triangle + diagonal per shard (``SparsePartitionSym``, ``include/sparsex/
+internals/SparsePartition.hpp:358-497``), mining/encoding the lower triangle
+with the same machinery, and an SpMV that computes both the direct (lower)
+contribution and the transposed (upper-mirror) contribution
+(``src/templates/csx_sym_spmv_tmpl.c:62-105``).
+
+Cross-shard reduction: a shard's transposed contributions land at column
+positions that may belong to earlier shards.  The reference zeroes a local
+buffer per thread, runs, then applies a reduction map under barriers
+(``VecInitFromMap``/``VecAddFromMap``, ``src/internals/CsxSpmv.cpp:66-85``).
+The TPU-native equivalent: every shard scatter-adds its transposed
+contribution into a partial vector, and the partials are summed — a
+``psum_scatter`` over the mesh in the sharded executor, a plain sum in the
+single-host loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from sparsex_tpu.config import Config
+from sparsex_tpu.csx import CsxMatrix
+from sparsex_tpu.errors import ErrorCode, seterror
+from sparsex_tpu.logger import log_info
+from sparsex_tpu.ops.exec import CsxExecutor, tables_to_arrays, _static_meta
+from sparsex_tpu.parallel.partition import row_counts_from_coo, split_rows_by_nnz
+from sparsex_tpu.preprocess.encoder import Encoder
+from sparsex_tpu.preprocess.encodings import EncType
+from sparsex_tpu.preprocess.tables import CsxTables
+from sparsex_tpu.preprocess.xform import run_step
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_sym(meta, row_start: int):
+    """Jitted symmetric shard kernel: returns (y_own, z_partial).
+
+    ``y_own``: dense over the shard's rows = L_s x + D_s x_own.
+    ``z_partial``: dense over all rows = L_s^T x_own-range scatter.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    nrows_part, ncols, run_meta, block_meta = meta
+    nrows_glob = ncols  # symmetric matrices are square
+
+    def fn(arrs, dvals, x, alpha):
+        dtype = x.dtype
+        acc = jnp.zeros(nrows_part, dtype=dtype)
+        z = jnp.zeros(nrows_glob, dtype=dtype)
+        # Diagonal (ref: handled in the new-row hook + tail loop).
+        acc = acc + dvals * jax.lax.dynamic_slice(x, (row_start,),
+                                                  (nrows_part,))
+        d = arrs["delta"]
+        if d is not None:
+            xr = jnp.take(x, d["cols"], mode="clip")
+            prod = d["vals"] * xr
+            acc = acc + jax.ops.segment_sum(
+                prod, d["row_ids"], num_segments=nrows_part,
+                indices_are_sorted=True)
+            # transposed: z[col] += v * x[row_global]
+            xg = jnp.take(x, d["row_ids"] + row_start, mode="clip")
+            z = z.at[d["cols"]].add(d["vals"] * xg, mode="drop")
+        for (enc_i, delta, width), t in zip(run_meta, arrs["runs"]):
+            enc = EncType(enc_i)
+            sr, sc = run_step(enc)
+            lane = jnp.arange(width, dtype=jnp.int32)
+            gidx = t["cols"][:, None] + (sc * delta) * lane[None, :]
+            xg = jnp.take(x, jnp.clip(gidx, 0, ncols - 1), axis=0)
+            contrib = t["vals"] * xg
+            if sr == 0:
+                acc = acc.at[t["rows"]].add(jnp.sum(contrib, axis=1),
+                                            mode="drop")
+            else:
+                ridx = t["rows"][:, None] + (sr * delta) * lane[None, :]
+                acc = acc.at[jnp.clip(ridx, 0, nrows_part - 1).ravel()].add(
+                    contrib.ravel(), mode="drop")
+            # transposed: z[c + dc*j] += v_j * x[r_glob + dr*j]
+            ridx_g = (t["rows"][:, None] + (sr * delta) * lane[None, :]
+                      + row_start)
+            xgr = jnp.take(x, jnp.clip(ridx_g, 0, nrows_glob - 1), axis=0)
+            tcontrib = t["vals"] * xgr
+            z = z.at[jnp.clip(gidx, 0, nrows_glob - 1).ravel()].add(
+                tcontrib.ravel(), mode="drop")
+        for (enc_i, br, bc), t in zip(block_meta, arrs["blocks"]):
+            bc_lane = jnp.arange(bc, dtype=jnp.int32)
+            br_lane = jnp.arange(br, dtype=jnp.int32)
+            cidx = t["cols"][:, None] + bc_lane[None, :]
+            ridx = t["rows"][:, None] + br_lane[None, :]
+            xg = jnp.take(x, jnp.clip(cidx, 0, ncols - 1), axis=0)
+            contrib = jnp.einsum("urc,uc->ur", t["vals"], xg,
+                                 preferred_element_type=dtype)
+            acc = acc.at[jnp.clip(ridx, 0, nrows_part - 1).ravel()].add(
+                contrib.astype(dtype).ravel(), mode="drop")
+            xgr = jnp.take(x, jnp.clip(ridx + row_start, 0, nrows_glob - 1),
+                           axis=0)  # (U, br)
+            tcontrib = jnp.einsum("urc,ur->uc", t["vals"], xgr,
+                                  preferred_element_type=dtype)
+            z = z.at[jnp.clip(cidx, 0, nrows_glob - 1).ravel()].add(
+                tcontrib.astype(dtype).ravel(), mode="drop")
+        return alpha * acc, alpha * z
+
+    return jax.jit(fn)
+
+
+@dataclass
+class SymShard:
+    tables: CsxTables  # strict lower triangle, partition-local rows
+    dvalues: np.ndarray  # diagonal values for the shard's rows
+
+
+class SymCsxMatrix(CsxMatrix):
+    """Symmetric tuned matrix: lower triangle + diagonal per shard."""
+
+    def __init__(self, nrows, ncols, nnz, **kw):
+        super().__init__(nrows=nrows, ncols=ncols, nnz=nnz, symmetric=True,
+                         **kw)
+        self.dvalues: List[np.ndarray] = []
+
+    def matvec(self, x, alpha=1.0, beta=0.0, y=None):
+        import jax.numpy as jnp
+        x = jnp.asarray(x)
+        if x.shape[0] != self.ncols:
+            seterror(ErrorCode.SPX_ERR_VEC_DIM,
+                     f"x has {x.shape[0]} entries, expected {self.ncols}")
+        y_parts = []
+        z_total = jnp.zeros(self.nrows, dtype=x.dtype)
+        for tables, dvals, ex in zip(self.shards, self.dvalues,
+                                     self.executors):
+            fn = _compiled_sym(_static_meta(tables), tables.row_start)
+            y_own, z = fn(ex.arrays, jnp.asarray(dvals, dtype=x.dtype), x,
+                          x.dtype.type(alpha))
+            y_parts.append(y_own)
+            z_total = z_total + z
+        out = jnp.concatenate(y_parts) if len(y_parts) > 1 else y_parts[0]
+        out = out + z_total
+        if y is not None and beta != 0.0:
+            out = out + x.dtype.type(beta) * jnp.asarray(y)
+        return out
+
+    def _locate(self, row: int, col: int):
+        """Lower-triangle lookup; the diagonal lives in ``dvalues``."""
+        si = self._find_shard(row)
+        if row == col:
+            return ("diag", si, row - self.shards[si].row_start)
+        return super()._locate(row, col)
+
+    def get_entry(self, row: int, col: int) -> float:
+        if self.symmetric and col > row:
+            row, col = col, row
+        if row == col:
+            si = self._find_shard(row)
+            return float(self.dvalues[si][row - self.shards[si].row_start])
+        return super().get_entry(row, col)
+
+    def set_entry(self, row: int, col: int, value: float) -> None:
+        if col > row:
+            row, col = col, row
+        if row == col:
+            si = self._find_shard(row)
+            self.dvalues[si][row - self.shards[si].row_start] = value
+            return
+        super().set_entry(row, col, value)
+
+    def tocoo(self):
+        """Expand to full (mirrored) COO."""
+        r, c, v = super().tocoo()
+        # add global row offset handled by parent; add diagonal + mirror
+        dr = []
+        dv = []
+        for tables, dvals in zip(self.shards, self.dvalues):
+            idx = np.arange(tables.nrows, dtype=np.int64) + tables.row_start
+            nzmask = dvals != 0
+            dr.append(idx[nzmask])
+            dv.append(dvals[nzmask])
+        rows = np.concatenate([r, c] + dr)
+        cols = np.concatenate([c, r] + dr)
+        vals = np.concatenate([v, v] + dv)
+        order = np.lexsort((cols, rows))
+        return rows[order], cols[order], vals[order]
+
+
+def build_symmetric_csx(nrows: int, ncols: int, rows, cols, vals, *,
+                        already_lower: bool = False,
+                        config: Optional[Config] = None) -> SymCsxMatrix:
+    """Build a symmetric CSX from COO input.
+
+    ``already_lower=True`` when the input carries only the lower triangle
+    (MMF symmetric file loaded with ``keep_lower``); otherwise the strict
+    upper triangle is dropped after verifying symmetry is plausible.
+    """
+    cfg = config or Config.instance()
+    if nrows != ncols:
+        seterror(ErrorCode.SPX_ERR_INPUT_MAT,
+                 "symmetric matrices must be square")
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    vals = np.asarray(vals, dtype=cfg.value_dtype)
+    if not already_lower:
+        # Verify the pattern is symmetric (cheap hash check), then keep L+D.
+        k_fwd = np.sort(rows * ncols + cols)
+        k_bwd = np.sort(cols * ncols + rows)
+        if not np.array_equal(k_fwd, k_bwd):
+            seterror(ErrorCode.SPX_ERR_INPUT_MAT,
+                     "matrix marked symmetric but pattern is not symmetric")
+        keep = rows >= cols
+        rows, cols, vals = rows[keep], cols[keep], vals[keep]
+
+    total_nnz = int(rows.size)  # lower-triangle count (incl. diagonal)
+    mat = SymCsxMatrix(nrows=int(nrows), ncols=int(ncols), nnz=total_nnz)
+    mat.timers.start_timer("preproc")
+
+    nparts = max(1, cfg.nr_threads)
+    # Balance on (nnz + n) / 2 like the reference symmetric load
+    # (ref SparseInternal.hpp:72-95).
+    part = split_rows_by_nnz(row_counts_from_coo(rows, nrows), nparts)
+    mat.partition = part
+
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    bounds = np.searchsorted(rows, part.row_start + [nrows])
+    for i in range(nparts):
+        lo, hi = bounds[i], bounds[i + 1]
+        r0 = part.row_start[i]
+        nr = part.row_end[i] - r0
+        pr = rows[lo:hi] - r0
+        pc = cols[lo:hi]
+        pv = vals[lo:hi]
+        diag_mask = (pr + r0) == pc
+        dvalues = np.zeros(nr, dtype=cfg.value_dtype)
+        dvalues[pr[diag_mask]] = pv[diag_mask]
+        enc = Encoder(nr, ncols, pr[~diag_mask], pc[~diag_mask],
+                      pv[~diag_mask], config=cfg)
+        enc.encode()
+        tables = enc.finalize(row_start=r0)
+        mat.shards.append(tables)
+        mat.dvalues.append(dvalues)
+        mat.executors.append(CsxExecutor(tables))
+        log_info("sym shard %d: rows [%d,%d) lower-nnz=%d encodings=%s",
+                 i, r0, part.row_end[i], int((~diag_mask).sum()),
+                 ",".join(enc.encoding_log) or "none")
+    mat.timers.pause_timer("preproc")
+    return mat

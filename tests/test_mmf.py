@@ -1,0 +1,68 @@
+"""MMF loader tests (ref Mmf.hpp parser semantics)."""
+
+import numpy as np
+import pytest
+
+from sparsex_tpu.errors import SparsexError
+from sparsex_tpu.io.mmf import load_mmf
+from tests.fixtures import symmetric_mmf_text
+
+
+def test_bannerless_sorted():
+    text = "3 4 4\n1 1 1.0\n1 3 2.0\n2 2 3.0\n3 4 4.0\n"
+    m = load_mmf(text)
+    assert (m.nrows, m.ncols, m.nnz) == (3, 4, 4)
+    assert m.rows.tolist() == [0, 0, 1, 2]
+    assert m.cols.tolist() == [0, 2, 1, 3]
+    assert m.vals.tolist() == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_unsorted_rejected():
+    text = "3 3 3\n2 2 3.0\n1 1 1.0\n3 3 4.0\n"
+    with pytest.raises(SparsexError):
+        load_mmf(text)
+
+
+def test_symmetric_mirrored():
+    text = ("%%MatrixMarket matrix coordinate real symmetric\n"
+            "3 3 4\n1 1 1.0\n2 1 2.0\n3 2 3.0\n3 3 4.0\n")
+    m = load_mmf(text)
+    assert m.nnz == 6  # two off-diagonals mirrored
+    dense = np.zeros((3, 3))
+    dense[m.rows, m.cols] = m.vals
+    assert np.allclose(dense, dense.T)
+
+
+def test_symmetric_keep_lower():
+    text = ("%%MatrixMarket matrix coordinate real symmetric\n"
+            "3 3 4\n1 1 1.0\n2 1 2.0\n3 2 3.0\n3 3 4.0\n")
+    m = load_mmf(text, keep_lower=True)
+    assert m.nnz == 4
+    assert np.all(m.rows >= m.cols)
+
+
+def test_symmetric_upper_entry_rejected():
+    text = ("%%MatrixMarket matrix coordinate real symmetric\n"
+            "3 3 2\n1 2 1.0\n3 3 4.0\n")
+    with pytest.raises(SparsexError):
+        load_mmf(text)
+
+
+def test_nonstandard_banner_tokens():
+    m = load_mmf(symmetric_mmf_text())
+    assert m.symmetric
+    assert m.nrows == 8
+
+
+def test_zero_base_and_column_wise():
+    text = ("%%MatrixMarket matrix coordinate real general 0-base column\n"
+            "3 3 3\n0 0 1.0\n2 0 2.0\n1 2 3.0\n")
+    # column-wise: file rows are (col, row)
+    m = load_mmf(text)
+    pairs = set(zip(m.rows.tolist(), m.cols.tolist()))
+    assert pairs == {(0, 0), (0, 2), (2, 1)}
+
+
+def test_wrong_count_rejected():
+    with pytest.raises(SparsexError):
+        load_mmf("3 3 5\n1 1 1.0\n2 2 2.0\n")
