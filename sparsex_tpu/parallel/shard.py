@@ -1,0 +1,297 @@
+"""Multi-device SPMD execution over a JAX mesh.
+
+This is the TPU-native replacement for the reference's entire parallel
+runtime (``ThreadPool``/``Barrier``/``CsxSpmv``/NUMA placement, SURVEY §2.7):
+
+- per-thread row partitions            -> per-device row shards on a 1-D
+  ``jax.sharding.Mesh`` (nnz-balanced, same splitting algorithm);
+- NUMA interleaved allocation          -> ``NamedSharding`` placement of each
+  shard's tables in its device's HBM;
+- shared read of x + futex barrier     -> x replicated over the mesh (the
+  all-gather is XLA's job; halo-narrowing to referenced column spans is a
+  planned optimization), synchronization implicit in the XLA program;
+- CSX-Sym local buffers + reduction map-> per-shard transposed partials
+  reduced with ``lax.psum`` inside ``shard_map`` (ref
+  ``VecInitFromMap``/``VecAddFromMap``, ``src/internals/CsxSpmv.cpp:66-85``).
+
+Shards generally have different table sets and sizes; to keep the SPMD
+program static they are stacked into uniform arrays: the union of table
+signatures across shards, each padded to the max unit count (padding units
+carry zero values and index 0, contributing nothing).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from sparsex_tpu.csx import CsxMatrix
+from sparsex_tpu.preprocess.encodings import EncType
+from sparsex_tpu.preprocess.tables import CsxTables
+from sparsex_tpu.preprocess.xform import run_step
+
+
+def _pad_to(a: np.ndarray, n: int, fill=0) -> np.ndarray:
+    if a.shape[0] == n:
+        return a
+    pad = np.full((n - a.shape[0],) + a.shape[1:], fill, dtype=a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def stack_shards(mat: CsxMatrix, value_dtype=None):
+    """Stack per-shard tables into uniform arrays with a leading shard axis.
+
+    Returns (arrays, static_meta).  ``arrays`` is a pytree whose every leaf
+    has leading dimension n_shards; ``static_meta`` carries the union table
+    signature, per-shard row offsets/counts and padding info.
+    """
+    shards = mat.shards
+    n = len(shards)
+    vdt = value_dtype or shards[0].delta.vals.dtype
+    max_rows = max(t.nrows for t in shards)
+
+    # --- delta tables ---
+    dn = max(t.delta.nnz if t.delta else 0 for t in shards)
+    d_cols = np.zeros((n, dn), dtype=np.int32)
+    d_vals = np.zeros((n, dn), dtype=vdt)
+    d_rowids = np.zeros((n, dn), dtype=np.int32)
+    for i, t in enumerate(shards):
+        if t.delta and t.delta.nnz:
+            m = t.delta.nnz
+            d_cols[i, :m] = t.delta.cols
+            d_vals[i, :m] = t.delta.vals
+            d_rowids[i, :m] = t.delta.row_ids
+            # keep segment ids sorted: padding lands on the last local row
+            d_rowids[i, m:] = max(0, t.nrows - 1)
+        else:
+            d_rowids[i, :] = max(0, t.nrows - 1)
+
+    # --- run tables: union of (enc, delta, width) ---
+    run_keys = sorted({(int(rt.enc), rt.delta, rt.width)
+                       for t in shards for rt in t.runs})
+    run_arrays = []
+    for key in run_keys:
+        enc_i, delta, width = key
+        umax = max((rt.rows.size for t in shards for rt in t.runs
+                    if (int(rt.enc), rt.delta, rt.width) == key), default=0)
+        rows = np.zeros((n, umax), dtype=np.int32)
+        cols = np.zeros((n, umax), dtype=np.int32)
+        vals = np.zeros((n, umax, width), dtype=vdt)
+        for i, t in enumerate(shards):
+            for rt in t.runs:
+                if (int(rt.enc), rt.delta, rt.width) == key:
+                    u = rt.rows.size
+                    rows[i, :u] = rt.rows
+                    cols[i, :u] = rt.cols
+                    vals[i, :u] = rt.vals
+        run_arrays.append({"rows": rows, "cols": cols, "vals": vals})
+
+    # --- block tables: union of (enc, br, bc) ---
+    block_keys = sorted({(int(bt.enc), bt.br, bt.bc)
+                         for t in shards for bt in t.blocks})
+    block_arrays = []
+    for key in block_keys:
+        enc_i, br, bc = key
+        umax = max((bt.rows.size for t in shards for bt in t.blocks
+                    if (int(bt.enc), bt.br, bt.bc) == key), default=0)
+        rows = np.zeros((n, umax), dtype=np.int32)
+        cols = np.zeros((n, umax), dtype=np.int32)
+        vals = np.zeros((n, umax, br, bc), dtype=vdt)
+        for i, t in enumerate(shards):
+            for bt in t.blocks:
+                if (int(bt.enc), bt.br, bt.bc) == key:
+                    u = bt.rows.size
+                    rows[i, :u] = bt.rows
+                    cols[i, :u] = bt.cols
+                    vals[i, :u] = bt.vals
+        block_arrays.append({"rows": rows, "cols": cols, "vals": vals})
+
+    row_start = np.array([t.row_start for t in shards], dtype=np.int32)
+    nrows_loc = np.array([t.nrows for t in shards], dtype=np.int32)
+    arrays = {
+        "delta": {"cols": d_cols, "vals": d_vals, "row_ids": d_rowids},
+        "runs": run_arrays,
+        "blocks": block_arrays,
+        "row_start": row_start[:, None],  # (n, 1) so it shards cleanly
+    }
+    meta = {
+        "n": n,
+        "nrows": mat.nrows,
+        "ncols": mat.ncols,
+        "max_rows": max_rows,
+        "run_keys": tuple(run_keys),
+        "block_keys": tuple(block_keys),
+        "row_start": tuple(int(r) for r in row_start),
+        "nrows_loc": tuple(int(r) for r in nrows_loc),
+    }
+    return arrays, meta
+
+
+def _gather_index(meta) -> np.ndarray:
+    """Flat index mapping global row -> position in the stacked (n, max_rows)
+    output (for trimming away row padding)."""
+    idx = np.zeros(meta["nrows"], dtype=np.int32)
+    for i in range(meta["n"]):
+        r0, nr = meta["row_start"][i], meta["nrows_loc"][i]
+        idx[r0: r0 + nr] = i * meta["max_rows"] + np.arange(nr)
+    return idx
+
+
+def _local_spmv(meta, tbl, x, axis_name=None, symmetric=False,
+                dvals=None):
+    """One shard's SpMV given its (squeezed) local tables.  Shared between
+    the single-device loop and the shard_map SPMD program."""
+    import jax
+    import jax.numpy as jnp
+
+    max_rows = meta["max_rows"]
+    ncols = meta["ncols"]
+    nrows_glob = meta["nrows"]
+    dtype = x.dtype
+    row_start = tbl["row_start"][0]
+
+    acc = jnp.zeros(max_rows, dtype=dtype)
+    z = jnp.zeros(nrows_glob, dtype=dtype) if symmetric else None
+    if symmetric:
+        acc = acc + dvals * jax.lax.dynamic_slice(
+            jnp.pad(x, (0, max_rows)), (row_start,), (max_rows,))
+
+    d = tbl["delta"]
+    if d["cols"].shape[0]:
+        prod = d["vals"] * jnp.take(x, d["cols"], mode="clip")
+        acc = acc + jax.ops.segment_sum(prod, d["row_ids"],
+                                        num_segments=max_rows,
+                                        indices_are_sorted=True)
+        if symmetric:
+            xg = jnp.take(x, d["row_ids"] + row_start, mode="clip")
+            z = z.at[d["cols"]].add(d["vals"] * xg, mode="drop")
+    for (enc_i, delta, width), t in zip(meta["run_keys"], tbl["runs"]):
+        enc = EncType(enc_i)
+        sr, sc = run_step(enc)
+        lane = jnp.arange(width, dtype=jnp.int32)
+        gidx = t["cols"][:, None] + (sc * delta) * lane[None, :]
+        xg = jnp.take(x, jnp.clip(gidx, 0, ncols - 1), axis=0)
+        contrib = t["vals"] * xg
+        if sr == 0:
+            acc = acc.at[t["rows"]].add(jnp.sum(contrib, axis=1),
+                                        mode="drop")
+        else:
+            ridx = t["rows"][:, None] + (sr * delta) * lane[None, :]
+            acc = acc.at[jnp.clip(ridx, 0, max_rows - 1).ravel()].add(
+                contrib.ravel(), mode="drop")
+        if symmetric:
+            ridx_g = (t["rows"][:, None] + (sr * delta) * lane[None, :]
+                      + row_start)
+            xgr = jnp.take(x, jnp.clip(ridx_g, 0, nrows_glob - 1), axis=0)
+            z = z.at[jnp.clip(gidx, 0, nrows_glob - 1).ravel()].add(
+                (t["vals"] * xgr).ravel(), mode="drop")
+    for (enc_i, br, bc), t in zip(meta["block_keys"], tbl["blocks"]):
+        cidx = t["cols"][:, None] + jnp.arange(bc, dtype=jnp.int32)[None, :]
+        xg = jnp.take(x, jnp.clip(cidx, 0, ncols - 1), axis=0)
+        contrib = jnp.einsum("urc,uc->ur", t["vals"], xg,
+                             preferred_element_type=dtype).astype(dtype)
+        ridx = t["rows"][:, None] + jnp.arange(br, dtype=jnp.int32)[None, :]
+        acc = acc.at[jnp.clip(ridx, 0, max_rows - 1).ravel()].add(
+            contrib.ravel(), mode="drop")
+        if symmetric:
+            xgr = jnp.take(x, jnp.clip(ridx + row_start, 0, nrows_glob - 1),
+                           axis=0)
+            tcontrib = jnp.einsum("urc,ur->uc", t["vals"], xgr,
+                                  preferred_element_type=dtype).astype(dtype)
+            z = z.at[jnp.clip(cidx, 0, nrows_glob - 1).ravel()].add(
+                tcontrib.ravel(), mode="drop")
+    return acc, z
+
+
+class ShardedCsx:
+    """SPMD SpMV executor over a 1-D device mesh.
+
+    ``mat`` must have been tuned with as many shards (``spx.rt.nr_threads``)
+    as there are devices on the mesh axis.
+    """
+
+    def __init__(self, mat: CsxMatrix, mesh=None, axis: Optional[str] = None):
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from sparsex_tpu.config import Config
+        cfg = Config.instance()
+        self.axis = axis or cfg.mesh_axis
+        if mesh is None:
+            devs = np.array(jax.devices())
+            mesh = Mesh(devs, (self.axis,))
+        self.mesh = mesh
+        n_dev = mesh.devices.size
+        if len(mat.shards) != n_dev:
+            raise ValueError(
+                f"matrix has {len(mat.shards)} shards but mesh has "
+                f"{n_dev} devices; tune with spx.rt.nr_threads={n_dev}")
+        self.mat = mat
+        self.symmetric = mat.symmetric
+        self.arrays, self.meta = stack_shards(mat)
+        self.gather_idx = _gather_index(self.meta)
+        if self.symmetric:
+            max_rows = self.meta["max_rows"]
+            dv = np.zeros((n_dev, max_rows),
+                          dtype=self.arrays["delta"]["vals"].dtype)
+            for i, d in enumerate(mat.dvalues):
+                dv[i, : d.size] = d
+            self.arrays["dvalues"] = dv
+
+        # Place each shard's tables in its device's memory (the reference's
+        # NUMA onnode placement, numa_util.c).
+        shard1 = NamedSharding(mesh, P(self.axis))
+        self.arrays = jax.tree.map(
+            lambda a: jax.device_put(a, shard1), self.arrays)
+        self._fn = self._build()
+
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        shard_map = jax.shard_map
+
+        meta = self.meta
+        axis = self.axis
+        symmetric = self.symmetric
+        gather_idx = jnp.asarray(self.gather_idx)
+
+        def device_fn(tbl, x):
+            # leading shard axis is size 1 inside shard_map: squeeze it
+            tbl = jax.tree.map(lambda a: a[0], tbl)
+            dvals = tbl.pop("dvalues") if symmetric else None
+            acc, z = _local_spmv(meta, tbl, x, axis_name=axis,
+                                 symmetric=symmetric, dvals=dvals)
+            if symmetric:
+                # cross-shard reduction of transposed partials
+                # (ref VecAddFromMap): psum over the mesh.
+                z = jax.lax.psum(z, axis)
+                acc = acc + jax.lax.dynamic_slice(
+                    jnp.pad(z, (0, meta["max_rows"])),
+                    (tbl["row_start"][0],), (meta["max_rows"],))
+            return acc[None]
+
+        smapped = shard_map(
+            device_fn, mesh=self.mesh,
+            in_specs=(jax.tree.map(lambda _: P(axis), self.arrays), P()),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+
+        def spmv(arrays, x, alpha, beta, y0):
+            stacked = smapped(arrays, x)  # (n, max_rows), row-sharded
+            yflat = stacked.reshape(-1)[gather_idx]
+            return alpha * yflat + beta * y0
+
+        return jax.jit(spmv)
+
+    def matvec(self, x, alpha=1.0, beta=0.0, y=None):
+        import jax.numpy as jnp
+        x = jnp.asarray(x)
+        y0 = (jnp.zeros(self.meta["nrows"], dtype=x.dtype)
+              if y is None else jnp.asarray(y))
+        return self._fn(self.arrays, x, x.dtype.type(alpha),
+                        x.dtype.type(beta), y0)
