@@ -23,6 +23,7 @@ from sparsex_tpu.parallel.partition import (
     RowPartition, row_counts_from_coo, split_rows_by_nnz,
 )
 from sparsex_tpu.preprocess.encoder import Encoder
+from sparsex_tpu.preprocess.mining import lexsort_rc
 from sparsex_tpu.preprocess.encodings import EncType
 from sparsex_tpu.preprocess.tables import CsxTables
 from sparsex_tpu.preprocess.xform import run_step
@@ -61,7 +62,7 @@ class CsxMatrix:
         part = split_rows_by_nnz(row_counts_from_coo(rows, nrows), nparts)
         mat.partition = part
 
-        order = np.lexsort((cols, rows))
+        order = lexsort_rc(rows, cols)
         rows, cols, vals = rows[order], cols[order], vals[order]
         bounds = np.searchsorted(rows, part.row_start + [nrows])
         for i in range(nparts):

@@ -125,23 +125,37 @@ def load_mmf(source, *, keep_lower: bool = False,
     nrows, ncols, nnz = (int(t) for t in size_toks)
     pos += 1
 
-    body = "\n".join(l for l in lines[pos:] if l.strip() and
-                     not l.lstrip().startswith("%"))
+    body = "\n".join(lines[pos:])
     ncols_per_line = 2 if pattern else 3
-    data = np.loadtxt(_io.StringIO(body), dtype=np.float64,
-                      ndmin=2) if body else np.zeros((0, ncols_per_line))
-    if data.shape[0] != nnz:
-        seterror(ErrorCode.SPX_ERR_INPUT_MAT,
-                 f"expected {nnz} entries, found {data.shape[0]}")
-    if data.shape[0] and data.shape[1] != ncols_per_line:
-        seterror(ErrorCode.SPX_ERR_INPUT_MAT,
-                 f"expected {ncols_per_line} columns per entry, "
-                 f"found {data.shape[1]}")
-
-    rows = data[:, 0].astype(np.int64)
-    cols = data[:, 1].astype(np.int64)
-    vals = (np.ones(nnz, dtype=value_dtype) if pattern
-            else data[:, 2].astype(value_dtype))
+    rows = cols = vals = None
+    from sparsex_tpu import native
+    parsed = native.parse_mmf_body(body, nnz, with_vals=not pattern) \
+        if body.strip() else None
+    if parsed is not None:
+        nr_, nc_, nv_, count = parsed
+        if count != nnz:
+            seterror(ErrorCode.SPX_ERR_INPUT_MAT,
+                     f"expected {nnz} entries, found "
+                     f"{count if count >= 0 else 'malformed input'}")
+        rows, cols = nr_, nc_
+        vals = (np.ones(nnz, dtype=value_dtype) if pattern
+                else nv_.astype(value_dtype, copy=False))
+    else:
+        clean = "\n".join(l for l in lines[pos:] if l.strip() and
+                          not l.lstrip().startswith("%"))
+        data = np.loadtxt(_io.StringIO(clean), dtype=np.float64,
+                          ndmin=2) if clean else np.zeros((0, ncols_per_line))
+        if data.shape[0] != nnz:
+            seterror(ErrorCode.SPX_ERR_INPUT_MAT,
+                     f"expected {nnz} entries, found {data.shape[0]}")
+        if data.shape[0] and data.shape[1] != ncols_per_line:
+            seterror(ErrorCode.SPX_ERR_INPUT_MAT,
+                     f"expected {ncols_per_line} columns per entry, "
+                     f"found {data.shape[1]}")
+        rows = data[:, 0].astype(np.int64)
+        cols = data[:, 1].astype(np.int64)
+        vals = (np.ones(nnz, dtype=value_dtype) if pattern
+                else data[:, 2].astype(value_dtype))
     if not zero_based:
         rows -= 1
         cols -= 1

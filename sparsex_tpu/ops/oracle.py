@@ -10,8 +10,20 @@ from __future__ import annotations
 import numpy as np
 
 
-def csr_spmv(nrows, rowptr, colind, values, x, y=None, alpha=1.0, beta=0.0):
-    """y = alpha * A @ x + beta * y with a plain (vectorized numpy) CSR SpMV."""
+def csr_spmv(nrows, rowptr, colind, values, x, y=None, alpha=1.0, beta=0.0,
+             use_native=True):
+    """y = alpha * A @ x + beta * y with a plain CSR SpMV.
+
+    Uses the multithreaded native C++ kernel when available
+    (``native/kernels.cpp`` ``spx_csr_spmv_*`` — the fast host baseline,
+    playing the reference's MKL-adapter role); vectorized NumPy otherwise.
+    """
+    if use_native and np.asarray(values).dtype in (np.float64, np.float32):
+        from sparsex_tpu import native
+        out = native.csr_spmv(nrows, rowptr, colind, values, x,
+                              alpha=alpha, beta=beta, y=y)
+        if out is not None:
+            return out
     x = np.asarray(x)
     rowptr = np.asarray(rowptr, dtype=np.int64)
     colind = np.asarray(colind, dtype=np.int64)

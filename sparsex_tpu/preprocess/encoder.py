@@ -33,7 +33,8 @@ from sparsex_tpu.config import Config
 from sparsex_tpu.logger import log_info, log_verbose
 from sparsex_tpu.preprocess.encodings import EncType, EncodingSequence, expand_types
 from sparsex_tpu.preprocess.mining import (
-    BlockRuns, MiningResult, mine_blocks, mine_runs, split_block_runs,
+    BlockRuns, MiningResult, lexsort_rc, mine_blocks, mine_runs,
+    split_block_runs,
 )
 from sparsex_tpu.preprocess.tables import (
     BlockTable, CsxTables, DeltaTable, RunTable, pack_run_units,
@@ -58,8 +59,10 @@ class Encoder:
         self.cfg = config or Config.instance()
         self.nrows = int(nrows)
         self.ncols = int(ncols)
-        order = np.lexsort((cols, rows))
-        self.rows = np.asarray(rows, dtype=np.int64)[order]
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        order = lexsort_rc(rows, cols)
+        self.rows = rows[order]
         self.cols = np.asarray(cols, dtype=np.int64)[order]
         self.vals = np.asarray(vals)[order]
         self.nnz_total = int(self.rows.size)
@@ -236,7 +239,7 @@ class Encoder:
         self._resort()
 
     def _resort(self) -> None:
-        order = np.lexsort((self.cols, self.rows))
+        order = lexsort_rc(self.rows, self.cols)
         self.rows, self.cols = self.rows[order], self.cols[order]
         self.vals = self.vals[order]
 

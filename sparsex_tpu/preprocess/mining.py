@@ -31,6 +31,18 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 
+def lexsort_rc(rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+    """Row-major lexsort permutation (native radix sort when available —
+    the Transform hot path is sort-bound, SURVEY §3.1)."""
+    from sparsex_tpu import native
+    if rows.size > 4096:  # ctypes overhead not worth it for tiny inputs
+        order = native.lexsort_rc(np.asarray(rows, dtype=np.int64),
+                                  np.asarray(cols, dtype=np.int64))
+        if order is not None:
+            return order
+    return np.lexsort((cols, rows))
+
+
 @dataclass
 class RunUnits:
     """Pattern units found for one (type, delta) instantiation.
@@ -74,7 +86,20 @@ def _segment_runs(trows: np.ndarray, tcols: np.ndarray):
     of the run start (element index of the first delta element is ``j0+1``),
     ``f`` the run length in deltas, ``delta`` the gap, and ``adjacent`` true
     when the run immediately follows the previous run in the same row.
+
+    Dispatches to the native C++ scan (``native/kernels.cpp``
+    ``spx_segment_runs``) when available; the NumPy path below is the
+    fallback and the correctness reference for it.
     """
+    from sparsex_tpu import native
+    res = native.segment_runs(trows, tcols)
+    if res is not None:
+        return res
+    return _segment_runs_np(trows, tcols)
+
+
+def _segment_runs_np(trows: np.ndarray, tcols: np.ndarray):
+    """Pure-NumPy segment scan (vectorized fallback)."""
     m = trows.size
     if m < 2:
         z = np.zeros(0, dtype=np.int64)
@@ -167,7 +192,7 @@ def mine_runs(trows: np.ndarray, tcols: np.ndarray, *,
         order = np.arange(trows.size, dtype=np.int64)
         tr, tc = trows, tcols
     else:
-        order = np.lexsort((tcols, trows))
+        order = lexsort_rc(trows, tcols)
         tr, tc = trows[order], tcols[order]
     res = MiningResult(order=order, trows=tr, tcols=tc)
     m = tr.size
@@ -252,7 +277,7 @@ def mine_blocks(trows: np.ndarray, tcols: np.ndarray, *,
         order = np.arange(trows.size, dtype=np.int64)
         tr, tc = trows, tcols
     else:
-        order = np.lexsort((tcols, trows))
+        order = lexsort_rc(trows, tcols)
         tr, tc = trows[order], tcols[order]
     res = MiningResult(order=order, trows=tr, tcols=tc)
     m = tr.size
