@@ -82,6 +82,38 @@ def _slope_time(make_fn, k1: int, k2: int, outer: int):
     return max(t2 - t1, 1e-9) / (k2 - k1), t1, t2
 
 
+def measure_gather_ns():
+    """Measured per-element cost of an arbitrary gather + sorted segment-sum
+    (the two unavoidable ops of the leftover-singles path).  TPU has no
+    vectorized arbitrary gather — XLA serializes it — so this is a hardware
+    roofline term alongside HBM bandwidth."""
+    import jax
+    import jax.numpy as jnp
+
+    n, m = 1 << 20, 1 << 20
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
+    idx = jnp.asarray(rng.integers(0, n, m), dtype=jnp.int32)
+    seg = jnp.asarray(np.sort(rng.integers(0, n, m)), dtype=jnp.int32)
+    vals = jnp.asarray(rng.standard_normal(m), dtype=jnp.float32)
+
+    def make(k):
+        @jax.jit
+        def rep():
+            def body(c, _):
+                g = jnp.take(x * c[0], idx, mode="clip") * vals
+                y = jax.ops.segment_sum(g, seg, num_segments=n,
+                                        indices_are_sorted=True)
+                return c * 0.999 + y[:1] * 1e-9, ()
+            c, _ = jax.lax.scan(body, jnp.ones(1, jnp.float32), None,
+                                length=k)
+            return c
+        return lambda: rep()
+
+    per_iter, _, _ = _slope_time(make, 4, 16, 3)
+    return per_iter / m * 1e9
+
+
 def measure_hbm_bw():
     """Peak achievable HBM bandwidth via a chained triad (read 2, write 1)."""
     import jax
@@ -168,14 +200,24 @@ def main():
     mflops = 2 * nnz / (1e6 * per_iter)
 
     bw = measure_hbm_bw()
-    log(f"measured HBM BW (triad): {bw / 1e9:.0f} GB/s")
-    # speed of light: one pass over the compressed tables + x read + y write
-    # + the renormalization (read+write y, ~8B/row)
+    gather_ns = measure_gather_ns()
+    log(f"measured HBM BW (triad): {bw / 1e9:.0f} GB/s; "
+        f"gather+segsum floor: {gather_ns:.1f} ns/element")
+    # Machine roofline = HBM term + serial-gather term.  The HBM term is one
+    # pass over the compressed tables + x read + y write + renormalization;
+    # the gather term is the measured per-element cost of the arbitrary
+    # gather + sorted segment-sum that the leftover-singles (delta) path
+    # cannot avoid on TPU (no vectorized hardware gather).
     bytes_per_iter = csx_bytes + 4 * N * 4
-    sol_nnz_per_s = nnz / (bytes_per_iter / bw)
+    delta_nnz = sum(t.delta.nnz for t in mat.shards)
+    t_roofline = bytes_per_iter / bw + delta_nnz * gather_ns * 1e-9
+    sol_nnz_per_s = nnz / t_roofline
+    hbm_only = nnz / (bytes_per_iter / bw)
     frac = nnz_per_s / sol_nnz_per_s
     log(f"achieved: {nnz_per_s / 1e9:.2f} Gnnz/s = {mflops:.0f} MFLOPS; "
-        f"SoL {sol_nnz_per_s / 1e9:.2f} Gnnz/s -> {100 * frac:.1f}% of SoL")
+        f"roofline {sol_nnz_per_s / 1e9:.2f} Gnnz/s "
+        f"(HBM-only SoL {hbm_only / 1e9:.2f}) -> {100 * frac:.1f}% of "
+        f"roofline")
 
     print(json.dumps({
         "metric": "csx_spmv_nnz_per_s",

@@ -43,7 +43,8 @@ def _parse_bool(s: str) -> bool:
 _VALIDATORS: Dict[str, Callable[[str], object]] = {
     "spx.rt.nr_threads": lambda s: max(1, int(s)),
     "spx.rt.cpu_affinity": lambda s: [int(t) for t in str(s).split(",") if t != ""],
-    "spx.preproc.heuristic": lambda s: {"ratio": "ratio", "cost": "cost"}[str(s)],
+    "spx.preproc.heuristic": lambda s: {"ratio": "ratio", "cost": "cost",
+                                        "tpu": "tpu"}[str(s)],
     "spx.preproc.xform": str,
     "spx.preproc.sampling": lambda s: {"none": "none", "portion": "portion",
                                        "window": "window"}[str(s)],
@@ -61,6 +62,7 @@ _VALIDATORS: Dict[str, Callable[[str], object]] = {
                                       "bfloat16": "bfloat16"}[str(s)],
     "spx.tpu.index_dtype": lambda s: {"int32": "int32", "int64": "int64"}[str(s)],
     "spx.tpu.mesh_axis": str,
+    "spx.tpu.dia_min_fill": float,
     "spx.log.file": str,
     "spx.log.level": lambda s: {"error": "error", "warning": "warning",
                                 "info": "info", "verbose": "verbose",
@@ -78,7 +80,7 @@ def _default_properties() -> Dict[str, str]:
     return {
         "spx.rt.nr_threads": "1",
         "spx.rt.cpu_affinity": "0",
-        "spx.preproc.heuristic": "cost",
+        "spx.preproc.heuristic": "tpu",
         "spx.preproc.xform": "all",
         "spx.preproc.sampling": "portion",
         "spx.preproc.sampling.nr_samples": "48",
@@ -94,6 +96,7 @@ def _default_properties() -> Dict[str, str]:
         "spx.tpu.value_dtype": "float64",
         "spx.tpu.index_dtype": "int32",
         "spx.tpu.mesh_axis": "shards",
+        "spx.tpu.dia_min_fill": "0.01",
         "spx.log.file": "",
         "spx.log.level": "warning",
     }
@@ -214,6 +217,10 @@ class Config:
     @property
     def mesh_axis(self) -> str:
         return self._typed("spx.tpu.mesh_axis")
+
+    @property
+    def dia_min_fill(self) -> float:
+        return self._typed("spx.tpu.dia_min_fill")
 
     def _apply_log_level(self) -> None:
         handler = LoggingHandler.instance()

@@ -130,6 +130,11 @@ class CsxMatrix:
         si = self._find_shard(row)
         tables = self.shards[si]
         r = row - tables.row_start
+        for t in tables.dias:
+            o = (r + col) if t.anti else (col - r)
+            hits = np.nonzero(t.offsets == o)[0]
+            if hits.size and t.mask is not None and t.mask[int(hits[0]), r]:
+                return ("dia", t, (int(hits[0]), r))
         d = tables.delta
         if d is not None and d.nnz:
             lo, hi = int(d.rowptr[r]), int(d.rowptr[r + 1])
@@ -188,6 +193,9 @@ class CsxMatrix:
         kind, t, idx = loc
         if kind == "delta":
             return float(t.vals[idx])
+        if kind == "dia":
+            k, r = idx
+            return float(t.vals[k, r])
         if kind == "run":
             u, j = idx
             return float(t.vals[u, j])
@@ -209,6 +217,9 @@ class CsxMatrix:
         kind, t, idx = loc
         if kind == "delta":
             t.vals[idx] = value
+        elif kind == "dia":
+            k, r = idx
+            t.vals[k, r] = value
         elif kind == "run":
             u, j = idx
             t.vals[u, j] = value
@@ -242,6 +253,16 @@ class CsxMatrix:
                 out_r.append(rr[mask])
                 out_c.append(cc[mask])
                 out_v.append(np.asarray(t.vals)[mask])
+            for t in tables.dias:
+                kidx, ridx = np.nonzero(t.mask)
+                offs = t.offsets[kidx]
+                if t.anti:
+                    cc = offs - ridx
+                else:
+                    cc = offs + ridx
+                out_r.append(ridx.astype(np.int64) + r0)
+                out_c.append(cc.astype(np.int64))
+                out_v.append(np.asarray(t.vals)[kidx, ridx])
             for t in tables.blocks:
                 br_i = np.arange(t.br, dtype=np.int64)
                 bc_i = np.arange(t.bc, dtype=np.int64)

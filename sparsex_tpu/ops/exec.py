@@ -1,59 +1,31 @@
-"""Device execution of CSX tables.
+"""Device execution of CSX tables (single-chip executor).
 
 The TPU replacement for the reference JIT subsystem (``include/sparsex/
 internals/CsxJit.hpp:59-107``, ``src/templates/*.c``): instead of
 Clang/LLVM-compiling a specialized C routine per thread from the set of
-encoded patterns, the set of tables present *is* the specialization — this
-module builds one jitted JAX function whose trace contains exactly one
-vectorized kernel per table:
+encoded patterns, the set of tables present *is* the specialization — the
+jitted function's trace contains exactly one vectorized kernel per table
+(see ``ops/kernels.py`` for the kernel classes and their TPU cost
+rationale).
 
-- delta table  -> sorted segment-sum over ``vals * x[cols]``
-  (ref ``delta_tmpl.c`` gap decode loop);
-- run tables   -> 2-D gather of x at ``col + dc*j``, elementwise FMA with the
-  padded unit values, then a row reduce + scatter-add at ``row + dr*j``
-  (ref ``horiz_tmpl.c``/``vert_tmpl.c``/``diag_tmpl.c``/``rdiag_tmpl.c``);
-- block tables -> batched (U, br, bc) x (U, bc) matvec on the MXU + strided
-  scatter-add (ref ``block_row_tmpl.c``/``block_col_tmpl.c``).
-
-Padded lanes carry zero values and clamped indices, contributing exactly 0.
 The jitted function takes the table arrays as arguments (a pytree), so the
-compiled executable is cached per table *signature* (shapes + static pattern
-metadata), mirroring how the reference caches one compiled routine per
-pattern set.
+compiled executable is cached per table *signature* (shapes + static
+pattern metadata), mirroring how the reference caches one compiled routine
+per pattern set.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Tuple
+from typing import Tuple
 
 import numpy as np
 
-from sparsex_tpu.preprocess.encodings import EncType
+from sparsex_tpu.ops.kernels import local_contrib, static_meta, tables_to_arrays
 from sparsex_tpu.preprocess.tables import CsxTables
-from sparsex_tpu.preprocess.xform import run_step
 
-
-def tables_to_arrays(tables: CsxTables) -> Dict[str, Any]:
-    """Extract the array pytree (host numpy; device transfer on first call)."""
-    arrs: Dict[str, Any] = {"delta": None, "runs": [], "blocks": []}
-    if tables.delta is not None and tables.delta.nnz:
-        arrs["delta"] = {
-            "row_ids": tables.delta.row_ids,
-            "cols": tables.delta.cols,
-            "vals": tables.delta.vals,
-        }
-    for t in tables.runs:
-        arrs["runs"].append({"rows": t.rows, "cols": t.cols, "vals": t.vals})
-    for t in tables.blocks:
-        arrs["blocks"].append({"rows": t.rows, "cols": t.cols, "vals": t.vals})
-    return arrs
-
-
-def _static_meta(tables: CsxTables) -> Tuple:
-    runs = tuple((int(t.enc), t.delta, t.width) for t in tables.runs)
-    blocks = tuple((int(t.enc), t.br, t.bc) for t in tables.blocks)
-    return (tables.nrows, tables.ncols, runs, blocks)
+# Re-exported for backward compatibility.
+_static_meta = static_meta
 
 
 @functools.lru_cache(maxsize=128)
@@ -62,41 +34,10 @@ def _compiled(meta: Tuple, dtype_str: str):
     import jax
     import jax.numpy as jnp
 
-    nrows, ncols, run_meta, block_meta = meta
+    nrows, ncols = meta[0], meta[1]
 
     def fn(arrs, x, alpha, beta, y0):
-        dtype = x.dtype
-        acc = jnp.zeros(nrows, dtype=dtype)
-        d = arrs["delta"]
-        if d is not None:
-            prod = d["vals"] * jnp.take(x, d["cols"], mode="clip")
-            acc = acc + jax.ops.segment_sum(
-                prod, d["row_ids"], num_segments=nrows,
-                indices_are_sorted=True)
-        for (enc_i, delta, width), t in zip(run_meta, arrs["runs"]):
-            enc = EncType(enc_i)
-            sr, sc = run_step(enc)
-            lane = jnp.arange(width, dtype=jnp.int32)
-            gidx = t["cols"][:, None] + (sc * delta) * lane[None, :]
-            xg = jnp.take(x, jnp.clip(gidx, 0, ncols - 1), axis=0)
-            contrib = t["vals"] * xg
-            if sr == 0:
-                # horizontal: one output row per unit
-                acc = acc.at[t["rows"]].add(
-                    jnp.sum(contrib, axis=1), mode="drop")
-            else:
-                ridx = t["rows"][:, None] + (sr * delta) * lane[None, :]
-                acc = acc.at[jnp.clip(ridx, 0, nrows - 1).ravel()].add(
-                    contrib.ravel(), mode="drop")
-        for (enc_i, br, bc), t in zip(block_meta, arrs["blocks"]):
-            cidx = t["cols"][:, None] + jnp.arange(bc, dtype=jnp.int32)[None, :]
-            xg = jnp.take(x, jnp.clip(cidx, 0, ncols - 1), axis=0)  # (U, bc)
-            contrib = jnp.einsum(
-                "urc,uc->ur", t["vals"], xg,
-                preferred_element_type=dtype)  # (U, br)
-            ridx = t["rows"][:, None] + jnp.arange(br, dtype=jnp.int32)[None, :]
-            acc = acc.at[jnp.clip(ridx, 0, nrows - 1).ravel()].add(
-                contrib.astype(dtype).ravel(), mode="drop")
+        acc, _ = local_contrib(meta, arrs, x, nrows_part=nrows, ncols=ncols)
         return alpha * acc + beta * y0
 
     return jax.jit(fn)
@@ -107,7 +48,7 @@ class CsxExecutor:
 
     def __init__(self, tables: CsxTables):
         self.tables = tables
-        self.meta = _static_meta(tables)
+        self.meta = static_meta(tables)
         self.arrays = tables_to_arrays(tables)
         self._dtype = str(np.dtype(tables.delta.vals.dtype)
                           if tables.delta is not None else "float64")

@@ -109,12 +109,32 @@ def stack_shards(mat: CsxMatrix, value_dtype=None):
                     vals[i, :u] = bt.vals
         block_arrays.append({"rows": rows, "cols": cols, "vals": vals})
 
+    # --- DIA tables: union over the anti flag, padded to max diag count ---
+    dia_keys = []
+    dia_arrays = []
+    for anti in (False, True):
+        dmax = max((dt.ndiags for t in shards for dt in t.dias
+                    if dt.anti == anti), default=0)
+        if dmax == 0:
+            continue
+        offs = np.zeros((n, dmax), dtype=np.int32)
+        vals = np.zeros((n, dmax, max_rows), dtype=vdt)
+        for i, t in enumerate(shards):
+            for dt in t.dias:
+                if dt.anti == anti:
+                    d = dt.ndiags
+                    offs[i, :d] = dt.offsets
+                    vals[i, :d, : dt.vals.shape[1]] = dt.vals
+        dia_keys.append((anti, dmax))
+        dia_arrays.append({"offsets": offs, "vals": vals})
+
     row_start = np.array([t.row_start for t in shards], dtype=np.int32)
     nrows_loc = np.array([t.nrows for t in shards], dtype=np.int32)
     arrays = {
         "delta": {"cols": d_cols, "vals": d_vals, "row_ids": d_rowids},
         "runs": run_arrays,
         "blocks": block_arrays,
+        "dias": dia_arrays,
         "row_start": row_start[:, None],  # (n, 1) so it shards cleanly
     }
     meta = {
@@ -124,6 +144,7 @@ def stack_shards(mat: CsxMatrix, value_dtype=None):
         "max_rows": max_rows,
         "run_keys": tuple(run_keys),
         "block_keys": tuple(block_keys),
+        "dia_keys": tuple(dia_keys),
         "row_start": tuple(int(r) for r in row_start),
         "nrows_loc": tuple(int(r) for r in nrows_loc),
     }
@@ -142,68 +163,20 @@ def _gather_index(meta) -> np.ndarray:
 
 def _local_spmv(meta, tbl, x, axis_name=None, symmetric=False,
                 dvals=None):
-    """One shard's SpMV given its (squeezed) local tables.  Shared between
-    the single-device loop and the shard_map SPMD program."""
-    import jax
-    import jax.numpy as jnp
+    """One shard's SpMV given its (squeezed) local tables.  Delegates to
+    the shared kernel composition (``ops/kernels.py``) with the stacked
+    union signature: every shard runs the same program over the union of
+    table kinds, padding units contributing exactly zero."""
+    from sparsex_tpu.ops.kernels import local_contrib
 
-    max_rows = meta["max_rows"]
-    ncols = meta["ncols"]
-    nrows_glob = meta["nrows"]
-    dtype = x.dtype
-    row_start = tbl["row_start"][0]
-
-    acc = jnp.zeros(max_rows, dtype=dtype)
-    z = jnp.zeros(nrows_glob, dtype=dtype) if symmetric else None
-    if symmetric:
-        acc = acc + dvals * jax.lax.dynamic_slice(
-            jnp.pad(x, (0, max_rows)), (row_start,), (max_rows,))
-
-    d = tbl["delta"]
-    if d["cols"].shape[0]:
-        prod = d["vals"] * jnp.take(x, d["cols"], mode="clip")
-        acc = acc + jax.ops.segment_sum(prod, d["row_ids"],
-                                        num_segments=max_rows,
-                                        indices_are_sorted=True)
-        if symmetric:
-            xg = jnp.take(x, d["row_ids"] + row_start, mode="clip")
-            z = z.at[d["cols"]].add(d["vals"] * xg, mode="drop")
-    for (enc_i, delta, width), t in zip(meta["run_keys"], tbl["runs"]):
-        enc = EncType(enc_i)
-        sr, sc = run_step(enc)
-        lane = jnp.arange(width, dtype=jnp.int32)
-        gidx = t["cols"][:, None] + (sc * delta) * lane[None, :]
-        xg = jnp.take(x, jnp.clip(gidx, 0, ncols - 1), axis=0)
-        contrib = t["vals"] * xg
-        if sr == 0:
-            acc = acc.at[t["rows"]].add(jnp.sum(contrib, axis=1),
-                                        mode="drop")
-        else:
-            ridx = t["rows"][:, None] + (sr * delta) * lane[None, :]
-            acc = acc.at[jnp.clip(ridx, 0, max_rows - 1).ravel()].add(
-                contrib.ravel(), mode="drop")
-        if symmetric:
-            ridx_g = (t["rows"][:, None] + (sr * delta) * lane[None, :]
-                      + row_start)
-            xgr = jnp.take(x, jnp.clip(ridx_g, 0, nrows_glob - 1), axis=0)
-            z = z.at[jnp.clip(gidx, 0, nrows_glob - 1).ravel()].add(
-                (t["vals"] * xgr).ravel(), mode="drop")
-    for (enc_i, br, bc), t in zip(meta["block_keys"], tbl["blocks"]):
-        cidx = t["cols"][:, None] + jnp.arange(bc, dtype=jnp.int32)[None, :]
-        xg = jnp.take(x, jnp.clip(cidx, 0, ncols - 1), axis=0)
-        contrib = jnp.einsum("urc,uc->ur", t["vals"], xg,
-                             preferred_element_type=dtype).astype(dtype)
-        ridx = t["rows"][:, None] + jnp.arange(br, dtype=jnp.int32)[None, :]
-        acc = acc.at[jnp.clip(ridx, 0, max_rows - 1).ravel()].add(
-            contrib.ravel(), mode="drop")
-        if symmetric:
-            xgr = jnp.take(x, jnp.clip(ridx + row_start, 0, nrows_glob - 1),
-                           axis=0)
-            tcontrib = jnp.einsum("urc,ur->uc", t["vals"], xgr,
-                                  preferred_element_type=dtype).astype(dtype)
-            z = z.at[jnp.clip(cidx, 0, nrows_glob - 1).ravel()].add(
-                tcontrib.ravel(), mode="drop")
-    return acc, z
+    kmeta = (meta["max_rows"], meta["ncols"], meta["run_keys"],
+             meta["block_keys"], meta["dia_keys"])
+    arrs = {"delta": tbl["delta"], "runs": tbl["runs"],
+            "blocks": tbl["blocks"], "dias": tbl["dias"]}
+    return local_contrib(
+        kmeta, arrs, x, nrows_part=meta["max_rows"], ncols=meta["ncols"],
+        row_start=tbl["row_start"][0], symmetric=symmetric, dvals=dvals,
+        nrows_glob=meta["nrows"])
 
 
 class ShardedCsx:

@@ -22,7 +22,7 @@ from sparsex_tpu.ops.exec import CsxExecutor
 from sparsex_tpu.parallel.partition import RowPartition
 from sparsex_tpu.preprocess.encodings import EncType
 from sparsex_tpu.preprocess.tables import (
-    BlockTable, CsxTables, DeltaTable, RunTable,
+    BlockTable, CsxTables, DeltaTable, DiagTable, RunTable,
 )
 
 _MAGIC = "sparsex_tpu-csx-v1"
@@ -48,6 +48,7 @@ def save_csx(mat: CsxMatrix, filename: str,
             "has_delta": t.delta is not None,
             "runs": [{"enc": int(r.enc), "delta": r.delta} for r in t.runs],
             "blocks": [{"enc": int(b.enc)} for b in t.blocks],
+            "dias": [{"anti": d.anti, "nnz": d.nnz_count} for d in t.dias],
         }
         meta["shards"].append(smeta)
         if t.delta is not None:
@@ -64,6 +65,13 @@ def save_csx(mat: CsxMatrix, filename: str,
             arrays[f"s{i}_b{j}_rows"] = b.rows
             arrays[f"s{i}_b{j}_cols"] = b.cols
             arrays[f"s{i}_b{j}_vals"] = b.vals
+        for j, d in enumerate(t.dias):
+            arrays[f"s{i}_g{j}_offsets"] = d.offsets
+            arrays[f"s{i}_g{j}_vals"] = d.vals
+            arrays[f"s{i}_g{j}_mask"] = np.packbits(d.mask, axis=None)
+    if mat.symmetric:
+        for i, dv in enumerate(getattr(mat, "dvalues", [])):
+            arrays[f"s{i}_dvalues"] = dv
     if permutation is not None:
         arrays["permutation"] = np.asarray(permutation)
     if mat.partition is not None:
@@ -94,8 +102,15 @@ def restore_csx(filename: str) -> Tuple[CsxMatrix, Optional[np.ndarray]]:
         seterror(ErrorCode.SPX_ERR_FILE_READ,
                  f"{filename} is not a sparsex_tpu CSX archive")
 
-    mat = CsxMatrix(nrows=meta["nrows"], ncols=meta["ncols"],
-                    nnz=meta["nnz"], symmetric=meta["symmetric"])
+    if meta["symmetric"]:
+        from sparsex_tpu.symmetric import SymCsxMatrix
+        mat = SymCsxMatrix(nrows=meta["nrows"], ncols=meta["ncols"],
+                           nnz=meta["nnz"])
+        mat.dvalues = [arrays[f"s{i}_dvalues"]
+                       for i in range(meta["nshards"])]
+    else:
+        mat = CsxMatrix(nrows=meta["nrows"], ncols=meta["ncols"],
+                        nnz=meta["nnz"], symmetric=meta["symmetric"])
     for i, smeta in enumerate(meta["shards"]):
         delta = None
         if smeta["has_delta"]:
@@ -116,9 +131,19 @@ def restore_csx(filename: str) -> Tuple[CsxMatrix, Optional[np.ndarray]]:
                              cols=arrays[f"s{i}_b{j}_cols"],
                              vals=arrays[f"s{i}_b{j}_vals"])
                   for j, bm in enumerate(smeta["blocks"])]
+        dias = []
+        for j, dm in enumerate(smeta.get("dias", [])):
+            vals = arrays[f"s{i}_g{j}_vals"]
+            mask = np.unpackbits(
+                arrays[f"s{i}_g{j}_mask"],
+                count=vals.size).reshape(vals.shape).astype(bool)
+            dias.append(DiagTable(anti=dm["anti"],
+                                  offsets=arrays[f"s{i}_g{j}_offsets"],
+                                  vals=vals, mask=mask,
+                                  nnz_count=dm["nnz"]))
         tables = CsxTables(nrows=smeta["nrows"], ncols=smeta["ncols"],
                            nnz=smeta["nnz"], row_start=smeta["row_start"],
-                           delta=delta, runs=runs, blocks=blocks)
+                           delta=delta, runs=runs, blocks=blocks, dias=dias)
         mat.shards.append(tables)
         mat.executors.append(CsxExecutor(tables))  # re-trace == re-JIT
     if "partition" in meta:

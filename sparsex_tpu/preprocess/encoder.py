@@ -137,11 +137,52 @@ class Encoder:
         thresh = min_cov * max(1, self.nnz_total)
         return {d: s for d, s in stats.items() if s.encoded >= thresh}
 
+    # Measured on TPU v5e: arbitrary gather/scatter ~6.6 ns/element
+    # (serialized), sorted segment-sum ~8.8 ns/element, dense elementwise
+    # ~0.006 ns/element.  The delta (leftover singles) path costs one x
+    # gather + one segment-sum per nnz.
+    _TPU_DELTA_NS = 15.0
+    _TPU_GATHER_NS = 6.6
+    _TPU_UNIT_OVERHEAD_NS = 30.0
+
+    def _tpu_exec_ns(self, t: EncType, inst: int) -> float:
+        """Estimated execution cost per encoded nnz for a pattern type.
+
+        The TPU replacement for the reference's switch-count cost model
+        (``GetTypeScore``, EncodingManager.hpp:836-861): what matters on TPU
+        is not dispatch switches but which memory-access class the pattern
+        lowers to — dense elementwise (DIA-folded diagonals), unit-sized
+        gather+scatter (horizontal/vertical runs), or block gather + MXU
+        einsum (blocks).
+        """
+        if t in (EncType.DIAGONAL, EncType.ANTI_DIAGONAL):
+            return 0.5  # DIA fold: elementwise at HBM speed
+        if t == EncType.HORIZONTAL:
+            return self._TPU_GATHER_NS + 0.5  # x gather per nnz, y per unit
+        if t == EncType.VERTICAL:
+            return self._TPU_GATHER_NS + 0.5  # y scatter per nnz, x per unit
+        if t.is_block:
+            a = t.block_alignment
+            br, bc = (a, inst) if t.is_block_row else (inst, a)
+            return self._TPU_GATHER_NS * (1.0 / br + 1.0 / bc) + 1.0
+        return self._TPU_DELTA_NS
+
     def type_score(self, t: EncType, stats: Dict[int, InstStats]) -> int:
-        """GetTypeScore parity (ref EncodingManager.hpp:836-861)."""
+        """Type selection score.
+
+        ``ratio``/``cost`` follow the reference (GetTypeScore,
+        EncodingManager.hpp:836-861); ``tpu`` (the default) scores by
+        estimated execution-time savings vs leaving the nnz on the delta
+        path, charging a fixed per-unit overhead.
+        """
         score = 0
-        for s in stats.values():
-            if self.cfg.heuristic == "cost":
+        for inst, s in stats.items():
+            if self.cfg.heuristic == "tpu":
+                saved = (s.encoded
+                         * (self._TPU_DELTA_NS - self._tpu_exec_ns(t, inst))
+                         - s.patterns * self._TPU_UNIT_OVERHEAD_NS)
+                score += max(0, int(saved))
+            elif self.cfg.heuristic == "cost":
                 score += max(0, s.encoded - 2 * s.patterns)
             else:
                 score += max(0, s.encoded - s.patterns)
@@ -319,8 +360,13 @@ class Encoder:
             vals=self.vals.astype(self.cfg.value_dtype),
             row_ids=self.rows.astype(idt),
         )
+        from sparsex_tpu.preprocess.tables import fold_diagonals
+        runs, dias = fold_diagonals(
+            self.run_tables, self.nrows,
+            min_fill=self.cfg.dia_min_fill,
+            value_dtype=self.cfg.value_dtype)
         return CsxTables(
             nrows=self.nrows, ncols=self.ncols, nnz=self.nnz_total,
             row_start=row_start, delta=delta,
-            runs=self.run_tables, blocks=self.block_tables,
+            runs=runs, blocks=self.block_tables, dias=dias,
         )

@@ -97,6 +97,44 @@ class BlockTable:
 
 
 @dataclass
+class DiagTable:
+    """Dense diagonal storage (DIA) for high-fill diagonal/anti-diagonal
+    substructure.
+
+    TPU-native replacement for diagonal run units: arbitrary gather/scatter
+    costs ~6.6 ns/element on TPU (serialized), while dense elementwise runs
+    at HBM speed (~0.006 ns/element) — so every DIAGONAL run (any delta)
+    folds onto its constant offset ``o = col - row_local`` and executes as
+    ``y[r] += vals[k, r] * x[r + offset_k]``, and every ANTI_DIAGONAL run
+    onto ``s = row_global + col`` as ``y[r] += avals[k, r] * x[s_k - r_g]``
+    (a reversed window).  Folding happens when a diagonal's fill fraction
+    exceeds ``spx.tpu.dia_min_fill`` (storage is dense over the partition's
+    rows); sparse diagonals stay in their RunTable.
+
+    ``offsets`` for DIAGONAL hold ``col - row_local``; for ANTI_DIAGONAL
+    they hold ``row_local + col`` (the anti-diagonal index).
+    """
+
+    anti: bool
+    offsets: np.ndarray  # (D,) int64
+    vals: np.ndarray     # (D, nrows_part) dense values, zeros where absent
+    mask: np.ndarray = None  # (D, nrows_part) bool occupancy (host-only;
+    #   distinguishes stored zeros from absent entries for get/set/tocoo)
+    nnz_count: int = 0   # true stored nonzeros
+
+    @property
+    def ndiags(self) -> int:
+        return int(self.offsets.size)
+
+    @property
+    def nnz(self) -> int:
+        return self.nnz_count
+
+    def nbytes(self) -> int:
+        return self.offsets.nbytes + self.vals.nbytes
+
+
+@dataclass
 class CsxTables:
     """The complete encoded partition: one delta table + pattern tables.
 
@@ -112,6 +150,7 @@ class CsxTables:
     delta: Optional[DeltaTable]
     runs: List[RunTable] = field(default_factory=list)
     blocks: List[BlockTable] = field(default_factory=list)
+    dias: List[DiagTable] = field(default_factory=list)
 
     def csx_size(self) -> int:
         """Compressed footprint in bytes (ref ``CsxUtil.hpp:117-180``)."""
@@ -119,6 +158,8 @@ class CsxTables:
         for t in self.runs:
             total += t.nbytes()
         for t in self.blocks:
+            total += t.nbytes()
+        for t in self.dias:
             total += t.nbytes()
         return total
 
@@ -129,10 +170,14 @@ class CsxTables:
             sig.append(("run", int(t.enc), t.delta, t.width, t.rows.size))
         for t in self.blocks:
             sig.append(("block", int(t.enc), t.br, t.bc, t.rows.size))
+        for t in self.dias:
+            sig.append(("dia", t.anti, t.ndiags))
         return tuple(sig)
 
     def pattern_nnz(self) -> int:
-        return sum(t.nnz for t in self.runs) + sum(t.nnz for t in self.blocks)
+        return (sum(t.nnz for t in self.runs)
+                + sum(t.nnz for t in self.blocks)
+                + sum(t.nnz for t in self.dias))
 
 
 def _next_pow2(x: int) -> int:
@@ -179,6 +224,78 @@ def pack_run_units(enc: EncType, delta: int, heads_r: np.ndarray,
                 padded[mask][:, :w]).astype(value_dtype),
         ))
     return tables
+
+
+def fold_diagonals(run_tables: List[RunTable], nrows_part: int, *,
+                   min_fill: float, value_dtype) -> Tuple[List[RunTable],
+                                                          List[DiagTable]]:
+    """Fold diagonal/anti-diagonal run units onto dense DIA arrays.
+
+    A DIAGONAL unit (head r, c, delta d) has all elements on offset
+    ``o = c - r``; an ANTI_DIAGONAL unit on ``s = r + c``.  Offsets whose
+    accumulated nnz reaches ``min_fill * nrows_part`` are stored densely
+    (elementwise execution at HBM speed); the rest keep their RunTable
+    (gather/scatter execution).  Returns (remaining_runs, dia_tables).
+    """
+    keep: List[RunTable] = []
+    per_offset: Dict[Tuple[bool, int], int] = {}
+    # pass 1: per-offset nnz across all diagonal-ish tables
+    diag_tables = []
+    for t in run_tables:
+        if t.enc == EncType.DIAGONAL:
+            offs = t.cols.astype(np.int64) - t.rows.astype(np.int64)
+            anti = False
+        elif t.enc == EncType.ANTI_DIAGONAL:
+            offs = t.rows.astype(np.int64) + t.cols.astype(np.int64)
+            anti = True
+        else:
+            keep.append(t)
+            continue
+        diag_tables.append((t, anti, offs))
+        for o, s in zip(offs, t.sizes):
+            per_offset[(anti, int(o))] = (per_offset.get((anti, int(o)), 0)
+                                          + int(s))
+    thresh = max(1.0, min_fill * nrows_part)
+    eligible = {k for k, n in per_offset.items() if n >= thresh}
+    if not eligible:
+        return run_tables, []
+
+    dense: Dict[bool, Dict[int, np.ndarray]] = {False: {}, True: {}}
+    dmask: Dict[bool, Dict[int, np.ndarray]] = {False: {}, True: {}}
+    counts: Dict[bool, int] = {False: 0, True: 0}
+    for t, anti, offs in diag_tables:
+        elig_mask = np.array([(anti, int(o)) in eligible for o in offs])
+        if not elig_mask.any():
+            keep.append(t)
+            continue
+        lane = np.arange(t.width, dtype=np.int64)
+        sel = np.flatnonzero(elig_mask)
+        for u in sel:
+            o = int(offs[u])
+            dv = dense[anti].get(o)
+            if dv is None:
+                dv = dense[anti][o] = np.zeros(nrows_part, dtype=value_dtype)
+                dmask[anti][o] = np.zeros(nrows_part, dtype=bool)
+            sz = int(t.sizes[u])
+            ridx = int(t.rows[u]) + t.delta * lane[:sz]
+            dv[ridx] = t.vals[u, :sz]
+            dmask[anti][o][ridx] = True
+            counts[anti] += sz
+        if not elig_mask.all():
+            m = ~elig_mask
+            keep.append(RunTable(enc=t.enc, delta=t.delta, rows=t.rows[m],
+                                 cols=t.cols[m], sizes=t.sizes[m],
+                                 vals=t.vals[m]))
+    dias: List[DiagTable] = []
+    for anti in (False, True):
+        if dense[anti]:
+            offs = np.array(sorted(dense[anti].keys()), dtype=np.int64)
+            vals = np.stack([dense[anti][int(o)] for o in offs])
+            mask = np.stack([dmask[anti][int(o)] for o in offs])
+            dias.append(DiagTable(anti=anti, offsets=offs,
+                                  vals=vals.astype(value_dtype),
+                                  mask=mask, nnz_count=counts[anti]))
+    return keep, dias
 
 
 def run_unit_coords(enc: EncType, delta: int, width: int):

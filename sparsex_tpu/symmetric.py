@@ -29,7 +29,8 @@ from sparsex_tpu.config import Config
 from sparsex_tpu.csx import CsxMatrix
 from sparsex_tpu.errors import ErrorCode, seterror
 from sparsex_tpu.logger import log_info
-from sparsex_tpu.ops.exec import CsxExecutor, tables_to_arrays, _static_meta
+from sparsex_tpu.ops.exec import CsxExecutor
+from sparsex_tpu.ops.kernels import local_contrib, static_meta, tables_to_arrays
 from sparsex_tpu.parallel.partition import row_counts_from_coo, split_rows_by_nnz
 from sparsex_tpu.preprocess.encoder import Encoder
 from sparsex_tpu.preprocess.encodings import EncType
@@ -44,67 +45,17 @@ def _compiled_sym(meta, row_start: int):
 
     ``y_own``: dense over the shard's rows = L_s x + D_s x_own.
     ``z_partial``: dense over all rows = L_s^T x_own-range scatter.
+    Kernel composition lives in ``ops/kernels.py``.
     """
     import jax
-    import jax.numpy as jnp
 
-    nrows_part, ncols, run_meta, block_meta = meta
-    nrows_glob = ncols  # symmetric matrices are square
+    nrows_part, ncols = meta[0], meta[1]
 
     def fn(arrs, dvals, x, alpha):
-        dtype = x.dtype
-        acc = jnp.zeros(nrows_part, dtype=dtype)
-        z = jnp.zeros(nrows_glob, dtype=dtype)
-        # Diagonal (ref: handled in the new-row hook + tail loop).
-        acc = acc + dvals * jax.lax.dynamic_slice(x, (row_start,),
-                                                  (nrows_part,))
-        d = arrs["delta"]
-        if d is not None:
-            xr = jnp.take(x, d["cols"], mode="clip")
-            prod = d["vals"] * xr
-            acc = acc + jax.ops.segment_sum(
-                prod, d["row_ids"], num_segments=nrows_part,
-                indices_are_sorted=True)
-            # transposed: z[col] += v * x[row_global]
-            xg = jnp.take(x, d["row_ids"] + row_start, mode="clip")
-            z = z.at[d["cols"]].add(d["vals"] * xg, mode="drop")
-        for (enc_i, delta, width), t in zip(run_meta, arrs["runs"]):
-            enc = EncType(enc_i)
-            sr, sc = run_step(enc)
-            lane = jnp.arange(width, dtype=jnp.int32)
-            gidx = t["cols"][:, None] + (sc * delta) * lane[None, :]
-            xg = jnp.take(x, jnp.clip(gidx, 0, ncols - 1), axis=0)
-            contrib = t["vals"] * xg
-            if sr == 0:
-                acc = acc.at[t["rows"]].add(jnp.sum(contrib, axis=1),
-                                            mode="drop")
-            else:
-                ridx = t["rows"][:, None] + (sr * delta) * lane[None, :]
-                acc = acc.at[jnp.clip(ridx, 0, nrows_part - 1).ravel()].add(
-                    contrib.ravel(), mode="drop")
-            # transposed: z[c + dc*j] += v_j * x[r_glob + dr*j]
-            ridx_g = (t["rows"][:, None] + (sr * delta) * lane[None, :]
-                      + row_start)
-            xgr = jnp.take(x, jnp.clip(ridx_g, 0, nrows_glob - 1), axis=0)
-            tcontrib = t["vals"] * xgr
-            z = z.at[jnp.clip(gidx, 0, nrows_glob - 1).ravel()].add(
-                tcontrib.ravel(), mode="drop")
-        for (enc_i, br, bc), t in zip(block_meta, arrs["blocks"]):
-            bc_lane = jnp.arange(bc, dtype=jnp.int32)
-            br_lane = jnp.arange(br, dtype=jnp.int32)
-            cidx = t["cols"][:, None] + bc_lane[None, :]
-            ridx = t["rows"][:, None] + br_lane[None, :]
-            xg = jnp.take(x, jnp.clip(cidx, 0, ncols - 1), axis=0)
-            contrib = jnp.einsum("urc,uc->ur", t["vals"], xg,
-                                 preferred_element_type=dtype)
-            acc = acc.at[jnp.clip(ridx, 0, nrows_part - 1).ravel()].add(
-                contrib.astype(dtype).ravel(), mode="drop")
-            xgr = jnp.take(x, jnp.clip(ridx + row_start, 0, nrows_glob - 1),
-                           axis=0)  # (U, br)
-            tcontrib = jnp.einsum("urc,ur->uc", t["vals"], xgr,
-                                  preferred_element_type=dtype)
-            z = z.at[jnp.clip(cidx, 0, nrows_glob - 1).ravel()].add(
-                tcontrib.astype(dtype).ravel(), mode="drop")
+        acc, z = local_contrib(meta, arrs, x, nrows_part=nrows_part,
+                               ncols=ncols, row_start=row_start,
+                               symmetric=True, dvals=dvals,
+                               nrows_glob=ncols)
         return alpha * acc, alpha * z
 
     return jax.jit(fn)
@@ -134,7 +85,7 @@ class SymCsxMatrix(CsxMatrix):
         z_total = jnp.zeros(self.nrows, dtype=x.dtype)
         for tables, dvals, ex in zip(self.shards, self.dvalues,
                                      self.executors):
-            fn = _compiled_sym(_static_meta(tables), tables.row_start)
+            fn = _compiled_sym(static_meta(tables), tables.row_start)
             y_own, z = fn(ex.arrays, jnp.asarray(dvals, dtype=x.dtype), x,
                           x.dtype.type(alpha))
             y_parts.append(y_own)

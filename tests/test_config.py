@@ -10,7 +10,10 @@ from sparsex_tpu.errors import SparsexError
 def test_defaults_match_reference():
     cfg = Config.instance()
     assert cfg.nr_threads == 1
-    assert cfg.heuristic == "cost"
+    # Default heuristic is the TPU execution-cost model; the reference's
+    # "ratio"/"cost" heuristics remain selectable for behavioral parity.
+    assert cfg.heuristic == "tpu"
+    assert cfg.dia_min_fill == pytest.approx(0.01)
     assert cfg.xform == "all"
     assert cfg.sampling == "portion"
     assert cfg.nr_samples == 48
