@@ -17,6 +17,9 @@ from sparsex_tpu.config import Config, option_set, option_get, options_set_from_
 from sparsex_tpu.errors import SparsexError, ErrorCode, set_error_handler
 from sparsex_tpu import timing
 from sparsex_tpu.api import (
+    OP_REORDER,
+    INDEX_ZERO_BASED,
+    INDEX_ONE_BASED,
     init,
     finalize,
     input_load_csr,
@@ -38,6 +41,7 @@ from sparsex_tpu.api import (
     Partition,
 )
 from sparsex_tpu.ops import vector as vec
+from sparsex_tpu import api, config
 
 __version__ = "0.1.0"
 
@@ -45,6 +49,7 @@ __all__ = [
     "Config", "option_set", "option_get", "options_set_from_env",
     "SparsexError", "ErrorCode", "set_error_handler",
     "timing", "vec",
+    "OP_REORDER", "INDEX_ZERO_BASED", "INDEX_ONE_BASED",
     "init", "finalize",
     "input_load_csr", "input_load_mmf", "input_destroy",
     "mat_tune", "mat_get_entry", "mat_set_entry", "mat_save", "mat_restore",
