@@ -63,6 +63,8 @@ _VALIDATORS: Dict[str, Callable[[str], object]] = {
     "spx.tpu.index_dtype": lambda s: {"int32": "int32", "int64": "int64"}[str(s)],
     "spx.tpu.mesh_axis": str,
     "spx.tpu.dia_min_fill": float,
+    "spx.tpu.x_mode": lambda s: {"auto": "auto", "replicated": "replicated",
+                                 "halo": "halo"}[str(s)],
     "spx.log.file": str,
     "spx.log.level": lambda s: {"error": "error", "warning": "warning",
                                 "info": "info", "verbose": "verbose",
@@ -97,6 +99,7 @@ def _default_properties() -> Dict[str, str]:
         "spx.tpu.index_dtype": "int32",
         "spx.tpu.mesh_axis": "shards",
         "spx.tpu.dia_min_fill": "0.01",
+        "spx.tpu.x_mode": "auto",
         "spx.log.file": "",
         "spx.log.level": "warning",
     }
@@ -221,6 +224,10 @@ class Config:
     @property
     def dia_min_fill(self) -> float:
         return self._typed("spx.tpu.dia_min_fill")
+
+    @property
+    def x_mode(self) -> str:
+        return self._typed("spx.tpu.x_mode")
 
     def _apply_log_level(self) -> None:
         handler = LoggingHandler.instance()

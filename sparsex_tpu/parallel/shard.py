@@ -179,11 +179,57 @@ def _local_spmv(meta, tbl, x, axis_name=None, symmetric=False,
         nrows_glob=meta["nrows"])
 
 
+def _col_span(t: CsxTables) -> Tuple[int, int]:
+    """[lo, hi) range of x indices one shard's tables reference."""
+    lo, hi = t.ncols, 0
+    d = t.delta
+    if d is not None and d.nnz:
+        lo = min(lo, int(d.cols.min()))
+        hi = max(hi, int(d.cols.max()) + 1)
+    for rt in t.runs:
+        if rt.rows.size == 0:
+            continue
+        sr, sc = run_step(rt.enc)
+        reach = sc * rt.delta * (rt.vals.shape[1] - 1)
+        c0 = int(rt.cols.min()) + min(0, reach)
+        c1 = int(rt.cols.max()) + max(0, reach)
+        lo, hi = min(lo, c0), max(hi, c1 + 1)
+    for bt in t.blocks:
+        if bt.rows.size:
+            lo = min(lo, int(bt.cols.min()))
+            hi = max(hi, int(bt.cols.max()) + bt.bc)
+    for dt in t.dias:
+        if not dt.ndiags:
+            continue
+        if dt.anti:
+            # x idx = s - r, r in [0, nrows)
+            lo = min(lo, int(dt.offsets.min()) - (t.nrows - 1))
+            hi = max(hi, int(dt.offsets.max()) + 1)
+        else:
+            # x idx = r + o
+            lo = min(lo, int(dt.offsets.min()))
+            hi = max(hi, int(dt.offsets.max()) + t.nrows)
+    lo = max(0, min(lo, t.ncols))
+    hi = max(lo, min(hi, t.ncols))
+    return lo, hi
+
+
 class ShardedCsx:
     """SPMD SpMV executor over a 1-D device mesh.
 
     ``mat`` must have been tuned with as many shards (``spx.rt.nr_threads``)
     as there are devices on the mesh axis.
+
+    x placement (``spx.tpu.x_mode``):
+
+    - ``replicated``: x lives replicated on every device (the reference's
+      shared read of x, ``CsxKernels.cpp``; XLA broadcasts once).
+    - ``halo``: x stays sharded in chunks; each device fetches only the
+      ``halo_k`` neighbor chunks its column span actually references via a
+      ``ppermute`` ring over ICI — the TPU-native narrow exchange (SURVEY
+      §5: only the referenced column ranges need exchanging).
+    - ``auto`` (default): halo for unsymmetric matrices whose spans need
+      fewer than all chunks, replicated otherwise.
     """
 
     def __init__(self, mat: CsxMatrix, mesh=None, axis: Optional[str] = None):
@@ -213,6 +259,22 @@ class ShardedCsx:
             for i, d in enumerate(mat.dvalues):
                 dv[i, : d.size] = d
             self.arrays["dvalues"] = dv
+
+        # x placement mode + halo width (static, from the column spans the
+        # shards actually reference).
+        self.chunk = -(-mat.ncols // n_dev)
+        spans = [_col_span(t) for t in mat.shards]
+        k = 0
+        for i, (lo, hi) in enumerate(spans):
+            if hi > lo:
+                k = max(k, i - lo // self.chunk,
+                        (hi - 1) // self.chunk - i)
+        self.halo_k = k
+        mode = cfg.x_mode
+        if mode == "auto":
+            mode = ("halo" if not self.symmetric
+                    and 2 * k + 1 < n_dev else "replicated")
+        self.x_mode = mode
 
         # Place each shard's tables in its device's memory (the reference's
         # NUMA onnode placement, numa_util.c).
@@ -247,17 +309,74 @@ class ShardedCsx:
                     (tbl["row_start"][0],), (meta["max_rows"],))
             return acc[None]
 
-        smapped = shard_map(
-            device_fn, mesh=self.mesh,
-            in_specs=(jax.tree.map(lambda _: P(axis), self.arrays), P()),
-            out_specs=P(axis),
-            check_vma=False,
-        )
+        n = meta["n"]
+        chunk = self.chunk
+        k = self.halo_k
 
-        def spmv(arrays, x, alpha, beta, y0):
-            stacked = smapped(arrays, x)  # (n, max_rows), row-sharded
-            yflat = stacked.reshape(-1)[gather_idx]
-            return alpha * yflat + beta * y0
+        def device_fn_halo(tbl, xloc):
+            # xloc: this device's (chunk,) slice of x.  Ring-exchange the k
+            # neighbor chunks each way over ICI, then compute against the
+            # (2k+1)*chunk window with column indices rebased to it.
+            tbl = jax.tree.map(lambda a: a[0], tbl)
+            parts = [xloc]
+            left = right = xloc
+            fwd = [(j, (j + 1) % n) for j in range(n)]
+            bwd = [(j, (j - 1) % n) for j in range(n)]
+            for _ in range(k):
+                left = jax.lax.ppermute(left, axis, fwd)
+                right = jax.lax.ppermute(right, axis, bwd)
+                parts = [left] + parts + [right]
+            xwin = jnp.concatenate(parts) if k else xloc
+            i = jax.lax.axis_index(axis)
+            start = ((i - k) * chunk).astype(jnp.int32)
+            # rebase every column-referencing index into the window
+            tbl = dict(tbl)
+            if tbl["delta"] is not None:
+                tbl["delta"] = dict(tbl["delta"],
+                                    cols=tbl["delta"]["cols"] - start)
+            tbl["runs"] = [dict(t, cols=t["cols"] - start)
+                           for t in tbl["runs"]]
+            tbl["blocks"] = [dict(t, cols=t["cols"] - start)
+                             for t in tbl["blocks"]]
+            tbl["dias"] = [dict(t, offsets=t["offsets"] - start)
+                           for t in tbl["dias"]]
+            kmeta = (meta["max_rows"], (2 * k + 1) * chunk,
+                     meta["run_keys"], meta["block_keys"], meta["dia_keys"])
+            from sparsex_tpu.ops.kernels import local_contrib
+            acc, _ = local_contrib(
+                kmeta, {kk: tbl[kk] for kk in
+                        ("delta", "runs", "blocks", "dias")},
+                xwin, nrows_part=meta["max_rows"],
+                ncols=(2 * k + 1) * chunk, row_start=tbl["row_start"][0])
+            return acc[None]
+
+        if self.x_mode == "halo":
+            smapped = shard_map(
+                device_fn_halo, mesh=self.mesh,
+                in_specs=(jax.tree.map(lambda _: P(axis), self.arrays),
+                          P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+
+            def spmv(arrays, x, alpha, beta, y0):
+                xp = jnp.pad(x, (0, n * chunk - x.shape[0]))
+                stacked = smapped(arrays, xp)
+                yflat = stacked.reshape(-1)[gather_idx]
+                return alpha * yflat + beta * y0
+        else:
+            smapped = shard_map(
+                device_fn, mesh=self.mesh,
+                in_specs=(jax.tree.map(lambda _: P(axis), self.arrays),
+                          P()),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+
+            def spmv(arrays, x, alpha, beta, y0):
+                stacked = smapped(arrays, x)  # (n, max_rows), row-sharded
+                yflat = stacked.reshape(-1)[gather_idx]
+                return alpha * yflat + beta * y0
 
         return jax.jit(spmv)
 

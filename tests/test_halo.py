@@ -1,0 +1,104 @@
+"""Halo-exchange sharded execution (x sharded + ppermute ring).
+
+The TPU-native narrow exchange: instead of replicating x (the reference's
+shared-memory read), each device holds one chunk and fetches only the
+``halo_k`` neighbor chunks its column span references over ICI
+(``parallel/shard.py`` ``device_fn_halo``).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from sparsex_tpu.config import Config
+from sparsex_tpu.csx import CsxMatrix
+from sparsex_tpu.ops.oracle import max_rel_error
+from sparsex_tpu.parallel.shard import ShardedCsx, _col_span
+
+
+def banded_random(n, bands, extra, seed=0):
+    rng = np.random.default_rng(seed)
+    rows, cols = [], []
+    for b in bands:
+        r = np.arange(max(0, -b), min(n, n - b), dtype=np.int64)
+        rows.append(r)
+        cols.append(r + b)
+    if extra:
+        rows.append(rng.integers(0, n, extra))
+        cols.append(rng.integers(0, n, extra))
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    _, u = np.unique(rows * n + cols, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size) + 2.0
+    return rows, cols, vals
+
+
+def dense_of(n, rows, cols, vals):
+    d = np.zeros((n, n))
+    d[rows, cols] = vals
+    return d
+
+
+def make_sharded(n, bands, extra, ndev, x_mode="auto", seed=0):
+    cfg = Config.instance()
+    cfg.set("spx.preproc.xform", "all")
+    cfg.set("spx.preproc.sampling", "none")
+    cfg.set("spx.rt.nr_threads", str(ndev))
+    cfg.set("spx.tpu.x_mode", x_mode)
+    rows, cols, vals = banded_random(n, bands, extra, seed)
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("shards",))
+    return ShardedCsx(mat, mesh=mesh), dense_of(n, rows, cols, vals)
+
+
+def test_auto_selects_halo_for_banded():
+    sh, dense = make_sharded(256, (0, 1, -1, 5), extra=0, ndev=8)
+    assert sh.x_mode == "halo"
+    assert sh.halo_k <= 1
+    x = np.random.default_rng(1).standard_normal(256)
+    assert max_rel_error(np.asarray(sh.matvec(x)), dense @ x) < 1e-10
+
+
+def test_auto_falls_back_for_wide_span():
+    # random cols force a full-width span -> replicated
+    sh, dense = make_sharded(128, (0,), extra=400, ndev=8)
+    assert sh.x_mode == "replicated"
+    x = np.random.default_rng(2).standard_normal(128)
+    assert max_rel_error(np.asarray(sh.matvec(x)), dense @ x) < 1e-10
+
+
+def test_forced_halo_wide_window_still_correct():
+    # forcing halo with a wide span grows the window but stays correct
+    sh, dense = make_sharded(128, (0, 3), extra=300, ndev=4,
+                             x_mode="halo")
+    assert sh.x_mode == "halo"
+    x = np.random.default_rng(3).standard_normal(128)
+    assert max_rel_error(np.asarray(sh.matvec(x)), dense @ x) < 1e-10
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_halo_vs_replicated_identical(ndev):
+    x = np.random.default_rng(4).standard_normal(192)
+    outs = []
+    for mode in ("halo", "replicated"):
+        Config.reset()
+        sh, dense = make_sharded(192, (0, 2, -7), extra=24, ndev=ndev,
+                                 x_mode=mode, seed=5)
+        outs.append(np.asarray(sh.matvec(x)))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-12, atol=1e-12)
+    assert max_rel_error(outs[0], dense @ x) < 1e-10
+
+
+def test_col_span_covers_all_tables():
+    cfg = Config.instance()
+    cfg.set("spx.preproc.xform", "all")
+    cfg.set("spx.preproc.sampling", "none")
+    rows, cols, vals = banded_random(96, (0, 1, -3), extra=30, seed=6)
+    mat = CsxMatrix.from_coo(96, 96, rows, cols, vals)
+    lo, hi = _col_span(mat.shards[0])
+    assert lo <= int(cols.min()) and hi >= int(cols.max()) + 1
