@@ -146,7 +146,7 @@ def main():
 
     from sparsex_tpu.config import Config
     from sparsex_tpu.csx import CsxMatrix
-    from sparsex_tpu.ops.exec import _compiled, _static_meta
+    from sparsex_tpu.ops.exec import _compiled, _resolve_use_pallas, _static_meta
 
     cfg = Config.reset()
     cfg.set("spx.tpu.value_dtype", "float32")
@@ -172,7 +172,7 @@ def main():
     meta = _static_meta(tables)
     ex = mat.executors[0]
     arrays = jax.device_put(ex.arrays)
-    spmv = _compiled(meta, "float32")
+    spmv = _compiled(meta, "float32", _resolve_use_pallas(tables))
     zeros = jnp.zeros(N, dtype=jnp.float32)
 
     def make(k):

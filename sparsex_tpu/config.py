@@ -65,6 +65,8 @@ _VALIDATORS: Dict[str, Callable[[str], object]] = {
     "spx.tpu.dia_min_fill": float,
     "spx.tpu.x_mode": lambda s: {"auto": "auto", "replicated": "replicated",
                                  "halo": "halo"}[str(s)],
+    "spx.tpu.use_pallas": lambda s: {"auto": "auto", "on": "on",
+                                     "off": "off"}[str(s)],
     "spx.log.file": str,
     "spx.log.level": lambda s: {"error": "error", "warning": "warning",
                                 "info": "info", "verbose": "verbose",
@@ -100,6 +102,7 @@ def _default_properties() -> Dict[str, str]:
         "spx.tpu.mesh_axis": "shards",
         "spx.tpu.dia_min_fill": "0.01",
         "spx.tpu.x_mode": "auto",
+        "spx.tpu.use_pallas": "auto",
         "spx.log.file": "",
         "spx.log.level": "warning",
     }
@@ -228,6 +231,10 @@ class Config:
     @property
     def x_mode(self) -> str:
         return self._typed("spx.tpu.x_mode")
+
+    @property
+    def use_pallas(self) -> str:
+        return self._typed("spx.tpu.use_pallas")
 
     def _apply_log_level(self) -> None:
         handler = LoggingHandler.instance()

@@ -29,7 +29,7 @@ _static_meta = static_meta
 
 
 @functools.lru_cache(maxsize=128)
-def _compiled(meta: Tuple, dtype_str: str):
+def _compiled(meta: Tuple, dtype_str: str, use_pallas: bool = False):
     """Build + jit the executor for one static table signature."""
     import jax
     import jax.numpy as jnp
@@ -37,10 +37,38 @@ def _compiled(meta: Tuple, dtype_str: str):
     nrows, ncols = meta[0], meta[1]
 
     def fn(arrs, x, alpha, beta, y0):
-        acc, _ = local_contrib(meta, arrs, x, nrows_part=nrows, ncols=ncols)
+        acc, _ = local_contrib(meta, arrs, x, nrows_part=nrows, ncols=ncols,
+                               use_pallas=use_pallas)
         return alpha * acc + beta * y0
 
     return jax.jit(fn)
+
+
+def _resolve_use_pallas(tables: CsxTables = None) -> bool:
+    """Per-matrix Pallas policy.
+
+    Measured on v5e: the XLA DIA window-sum overlaps with (hides under) the
+    serial delta gather when leftover singles dominate, so a Pallas custom
+    call there only adds serialization; when diagonals dominate (banded
+    matrices) the fused Pallas kernel runs at HBM speed-of-light, ~6.5x the
+    XLA formulation.  "auto" therefore picks Pallas iff the delta path is
+    cheaper than the XLA DIA passes it would otherwise hide under:
+    delta_nnz * ~16 ns  <  dia_rows * ~32 B / HBM_BW.
+    """
+    from sparsex_tpu.config import Config
+    mode = Config.instance().use_pallas
+    if mode == "off":
+        return False
+    if mode == "on":
+        return True
+    from sparsex_tpu.ops.pallas_kernels import dia_pallas_ok
+    if not dia_pallas_ok():
+        return False
+    if tables is None:
+        return True
+    delta_nnz = tables.delta.nnz if tables.delta else 0
+    dia_rows = sum(t.ndiags for t in tables.dias) * tables.nrows
+    return delta_nnz * 16e-9 < dia_rows * 32.0 / 600e9
 
 
 class CsxExecutor:
@@ -52,11 +80,13 @@ class CsxExecutor:
         self.arrays = tables_to_arrays(tables)
         self._dtype = str(np.dtype(tables.delta.vals.dtype)
                           if tables.delta is not None else "float64")
+        self._use_pallas = None  # resolved lazily (config may change)
 
     def __call__(self, x, alpha=1.0, beta=0.0, y=None):
         import jax.numpy as jnp
         x = jnp.asarray(x)
         y0 = (jnp.zeros(self.meta[0], dtype=x.dtype)
               if y is None else jnp.asarray(y))
-        fn = _compiled(self.meta, self._dtype)
+        fn = _compiled(self.meta, self._dtype,
+                       _resolve_use_pallas(self.tables))
         return fn(self.arrays, x, x.dtype.type(alpha), x.dtype.type(beta), y0)

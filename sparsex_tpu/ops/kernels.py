@@ -39,10 +39,19 @@ from sparsex_tpu.preprocess.xform import run_step
 
 
 def static_meta(tables: CsxTables) -> Tuple:
-    """Static trace signature of one partition's tables."""
+    """Static trace signature of one partition's tables.
+
+    DIA offsets are part of the signature: baking them in lets every
+    diagonal lower to a *statically sliced* fused multiply-add (no dynamic
+    slices, no padding) — trace-time specialization per matrix, exactly the
+    reference's JIT-per-pattern-set design (``CsxJit.hpp``).  The sharded
+    executor instead passes ``(anti, None, D)`` (offsets as data) because
+    one SPMD program covers shards with different offsets.
+    """
     runs = tuple((int(t.enc), t.delta, t.width) for t in tables.runs)
     blocks = tuple((int(t.enc), t.br, t.bc) for t in tables.blocks)
-    dias = tuple((t.anti, t.ndiags) for t in tables.dias)
+    dias = tuple((t.anti, tuple(int(o) for o in t.offsets), t.ndiags)
+                 for t in tables.dias)
     return (tables.nrows, tables.ncols, runs, blocks, dias)
 
 
@@ -66,8 +75,97 @@ def tables_to_arrays(tables: CsxTables) -> Dict[str, Any]:
     return arrs
 
 
+def _dia_contrib_static(meta_dias, dias, x, nrows_part: int, ncols: int,
+                        acc, z=None, x_own=None, nrows_glob: int = 0,
+                        use_pallas: bool = False):
+    """DIA contributions with trace-time-static offsets.
+
+    Every diagonal becomes a statically-bounded fused multiply-add over its
+    exact valid row range — XLA fuses all diagonals of a table into one
+    elementwise pass (one x read + one y write + the dv stream).
+    DIAGONAL: ``y[r] += dv[r] * x[r + o]`` for r in [max(0,-o),
+    min(nrows, ncols-o)); ANTI: ``y[r] += av[r] * x[s - r]`` for r in
+    [max(0, s-ncols+1), min(nrows, s+1)).  Symmetric transposed
+    contributions are the mirrored static windows of ``z``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if use_pallas:
+        from sparsex_tpu.ops.pallas_kernels import (
+            MAX_DIAGS_PALLAS, dia_spmv_pallas)
+
+    for (anti, offsets, _nd), t in zip(meta_dias, dias):
+        dv = t["vals"]
+        if (use_pallas and z is None and offsets
+                and len(offsets) <= MAX_DIAGS_PALLAS):
+            # Fused Pallas kernel: one x pass for all diagonals.  An
+            # anti-diagonal s is a diagonal o = ncols-1-s of the flipped x.
+            if anti:
+                offs = [ncols - 1 - s for s in offsets]
+                acc = acc + dia_spmv_pallas(offs, dv, x[::-1],
+                                            nrows_part, ncols)
+            else:
+                acc = acc + dia_spmv_pallas(list(offsets), dv, x,
+                                            nrows_part, ncols)
+            continue
+        if not anti:
+            # One zero-padded x frame; each diagonal is a static full-length
+            # window of it.  Summing full-length windows (instead of
+            # chaining .at[r0:r1].add updates) lets XLA fuse all D
+            # multiply-adds into a single elementwise pass over the rows.
+            # dv is zero wherever no element is stored, so out-of-matrix
+            # lanes contribute exactly 0.
+            pad_lo = max(0, max((-o for o in offsets), default=0))
+            pad_hi = max(0, max((o + nrows_part - ncols for o in offsets),
+                                default=0))
+            xp = jnp.pad(x, (pad_lo, pad_hi)) if (pad_lo or pad_hi) else x
+            total = acc
+            for k, o in enumerate(offsets):
+                s0 = o + pad_lo
+                total = total + dv[k] * jax.lax.slice(
+                    xp, (s0,), (s0 + nrows_part,))
+            acc = total
+            if z is not None:
+                # transposed: z[r + o] += dv[r] * x_own[r] — each diagonal
+                # is a static window of the padded product vector.
+                for k, o in enumerate(offsets):
+                    prod = dv[k] * x_own
+                    z0 = max(0, o)
+                    z1 = min(nrows_glob, nrows_part + o)
+                    if z1 > z0:
+                        z = z.at[z0:z1].add(prod[z0 - o: z1 - o])
+        else:
+            # anti-diagonal s = r + c: x[s - r] = reversed-x window.
+            xr = x[::-1]  # xr[i] = x[ncols-1-i]
+            pad_lo = max(0, max((s - (ncols - 1) for s in offsets),
+                                default=0))
+            pad_hi = max(0, max(((nrows_part - 1) - s for s in offsets),
+                                default=0))
+            xrp = (jnp.pad(xr, (pad_lo, pad_hi))
+                   if (pad_lo or pad_hi) else xr)
+            total = acc
+            for k, s in enumerate(offsets):
+                # x[s - r] for r in [0, nrows) = xr[ncols-1-s+r]
+                s0 = ncols - 1 - s + pad_lo
+                total = total + dv[k] * jax.lax.slice(
+                    xrp, (s0,), (s0 + nrows_part,))
+            acc = total
+            if z is not None:
+                for k, s in enumerate(offsets):
+                    prod = (dv[k] * x_own)[::-1]  # index r -> nrows-1-r
+                    # z[s - r] += prod_rev[nrows-1-r]: window start s-nrows+1
+                    z0 = max(0, s - nrows_part + 1)
+                    z1 = min(nrows_glob, s + 1)
+                    if z1 > z0:
+                        p0 = z0 - (s - nrows_part + 1)
+                        z = z.at[z0:z1].add(prod[p0: p0 + (z1 - z0)])
+    return acc, z
+
+
 def dia_contrib(meta_dias, dias, x, nrows_part: int, row_start,
-                acc, z=None, x_own=None, nrows_glob: int = 0):
+                acc, z=None, x_own=None, nrows_glob: int = 0,
+                ncols: Optional[int] = None, use_pallas: bool = False):
     """Dense-diagonal contributions (and transposed ones when symmetric).
 
     ``offsets`` are partition-local: DIAGONAL ``o = col - row_local`` (x
@@ -75,9 +173,21 @@ def dia_contrib(meta_dias, dias, x, nrows_part: int, row_start,
     window).  Transposed (symmetric) contributions are dense windows of the
     global partial ``z``: diag mirrors onto ``z[row_local + o]``, anti onto
     ``z[s - row_local]``.
+
+    Dispatches to the static-offset fast path when the meta signature
+    carries the offsets (single-chip executor); the dynamic ``lax.scan``
+    path below serves the sharded SPMD program, whose offsets are per-shard
+    data.
     """
     import jax
     import jax.numpy as jnp
+
+    if meta_dias and meta_dias[0][1] is not None:
+        return _dia_contrib_static(
+            meta_dias, dias, x, nrows_part,
+            ncols if ncols is not None else x.shape[0],
+            acc, z=z, x_own=x_own, nrows_glob=nrows_glob,
+            use_pallas=use_pallas)
 
     pad = nrows_part
     xp = jnp.pad(x, (pad, pad))
@@ -89,7 +199,7 @@ def dia_contrib(meta_dias, dias, x, nrows_part: int, row_start,
     xr = jnp.flip(xp)
     L = x.shape[0] + 2 * pad
 
-    for (anti, _nd), t in zip(meta_dias, dias):
+    for (anti, _offs, _nd), t in zip(meta_dias, dias):
         offs, dv = t["offsets"], t["vals"]
 
         if not anti:
@@ -132,7 +242,8 @@ def dia_contrib(meta_dias, dias, x, nrows_part: int, row_start,
 
 def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
                   row_start=0, symmetric: bool = False,
-                  dvals=None, nrows_glob: Optional[int] = None):
+                  dvals=None, nrows_glob: Optional[int] = None,
+                  use_pallas: bool = False):
     """One partition's SpMV contribution.
 
     Returns ``(acc, z)``: ``acc`` dense over the partition's ``nrows_part``
@@ -164,7 +275,8 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
         acc, z2 = dia_contrib(dia_meta, arrs["dias"], x, nrows_part,
                               row_start, acc,
                               z=z if symmetric else None,
-                              x_own=x_own, nrows_glob=nrows_glob or 0)
+                              x_own=x_own, nrows_glob=nrows_glob or 0,
+                              ncols=ncols, use_pallas=use_pallas)
         if symmetric:
             z = z2
 

@@ -125,7 +125,7 @@ def stack_shards(mat: CsxMatrix, value_dtype=None):
                     d = dt.ndiags
                     offs[i, :d] = dt.offsets
                     vals[i, :d, : dt.vals.shape[1]] = dt.vals
-        dia_keys.append((anti, dmax))
+        dia_keys.append((anti, None, dmax))
         dia_arrays.append({"offsets": offs, "vals": vals})
 
     row_start = np.array([t.row_start for t in shards], dtype=np.int32)
