@@ -23,7 +23,7 @@ from sparsex_tpu.parallel.partition import (
     RowPartition, row_counts_from_coo, split_rows_by_nnz,
 )
 from sparsex_tpu.preprocess.encoder import Encoder
-from sparsex_tpu.preprocess.mining import lexsort_rc
+from sparsex_tpu.preprocess.mining import lexsort_rc, take1
 from sparsex_tpu.preprocess.encodings import EncType
 from sparsex_tpu.preprocess.tables import CsxTables
 from sparsex_tpu.preprocess.xform import run_step
@@ -63,7 +63,8 @@ class CsxMatrix:
         mat.partition = part
 
         order = lexsort_rc(rows, cols)
-        rows, cols, vals = rows[order], cols[order], vals[order]
+        rows, cols = take1(rows, order), take1(cols, order)
+        vals = take1(vals, order)
         bounds = np.searchsorted(rows, part.row_start + [nrows])
         for i in range(nparts):
             lo, hi = bounds[i], bounds[i + 1]

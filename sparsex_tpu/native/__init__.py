@@ -25,7 +25,7 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "kernels.cpp")
 _LIB_PATH = os.path.join(_HERE, "_lib.so")
-_ABI_VERSION = 1
+_ABI_VERSION = 2
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -73,6 +73,10 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.spx_mark_covered.restype = None
     lib.spx_mark_covered.argtypes = [i64p, i64p, ctypes.c_longlong,
                                      ctypes.c_longlong, u8p]
+    lib.spx_permute.restype = None
+    lib.spx_permute.argtypes = [ctypes.c_char_p, ctypes.c_char_p, i64p,
+                                ctypes.c_longlong, ctypes.c_longlong,
+                                ctypes.c_int]
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -236,3 +240,34 @@ def mark_covered(start_elem: np.ndarray, count: np.ndarray, m: int):
         _ptr(start_elem, ctypes.c_longlong), _ptr(count, ctypes.c_longlong),
         start_elem.size, m, _ptr(covered, ctypes.c_ubyte))
     return covered.astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# permute
+# ---------------------------------------------------------------------------
+def permute(arr: np.ndarray, order: np.ndarray):
+    """dst[i] = arr[order[i]] (threaded), or None when unavailable.
+
+    1-D contiguous arrays only; falls back to numpy fancy indexing.
+    """
+    lib = get_lib()
+    if lib is None or arr.ndim != 1 or not arr.flags.c_contiguous:
+        return None
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    out = np.empty_like(arr)
+    lib.spx_permute(
+        arr.ctypes.data_as(ctypes.c_char_p),
+        out.ctypes.data_as(ctypes.c_char_p),
+        _ptr(order, ctypes.c_longlong), arr.size, arr.itemsize,
+        min(16, os.cpu_count() or 1))
+    return out
+
+
+def take1(arr, order):
+    """arr[order] with the native threaded kernel when possible."""
+    arr = np.ascontiguousarray(arr)
+    if order.size > (1 << 15):
+        out = permute(arr, order)
+        if out is not None:
+            return out
+    return arr[order]

@@ -271,6 +271,50 @@ void spx_mark_covered(const long long *start_elem, const long long *count,
   }
 }
 
-int spx_native_abi_version() { return 1; }
+// ---------------------------------------------------------------------------
+// Threaded permutation (apply a sort order to data arrays)
+// ---------------------------------------------------------------------------
+// dst[i] = src[order[i]] for arbitrary element size; row-parallel.  NumPy
+// fancy indexing is single-threaded (~60 ns/elem on 8-byte data); the
+// preprocessing pipeline applies each lexsort order to 3+ arrays, so this
+// is one of its hottest loops.
+void spx_permute(const char *src, char *dst, const long long *order,
+                 long long n, long long elem_size, int nthreads) {
+  if (nthreads < 1) nthreads = 1;
+  auto worker = [&](long long i0, long long i1) {
+    switch (elem_size) {
+      case 4: {
+        const int32_t *s = (const int32_t *)src;
+        int32_t *d = (int32_t *)dst;
+        for (long long i = i0; i < i1; ++i) d[i] = s[order[i]];
+        break;
+      }
+      case 8: {
+        const int64_t *s = (const int64_t *)src;
+        int64_t *d = (int64_t *)dst;
+        for (long long i = i0; i < i1; ++i) d[i] = s[order[i]];
+        break;
+      }
+      default:
+        for (long long i = i0; i < i1; ++i)
+          std::memcpy(dst + i * elem_size, src + order[i] * elem_size,
+                      (size_t)elem_size);
+    }
+  };
+  if (nthreads == 1 || n < 1 << 16) {
+    worker(0, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  long long per = (n + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    long long i0 = t * per;
+    long long i1 = std::min(n, i0 + per);
+    if (i0 < i1) threads.emplace_back(worker, i0, i1);
+  }
+  for (auto &th : threads) th.join();
+}
+
+int spx_native_abi_version() { return 2; }
 
 }  // extern "C"

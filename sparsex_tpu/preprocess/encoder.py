@@ -34,7 +34,7 @@ from sparsex_tpu.logger import log_info, log_verbose
 from sparsex_tpu.preprocess.encodings import EncType, EncodingSequence, expand_types
 from sparsex_tpu.preprocess.mining import (
     BlockRuns, MiningResult, lexsort_rc, mine_blocks, mine_runs,
-    split_block_runs,
+    split_block_runs, take1,
 )
 from sparsex_tpu.preprocess.tables import (
     BlockTable, CsxTables, DeltaTable, RunTable, pack_run_units,
@@ -62,9 +62,9 @@ class Encoder:
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         order = lexsort_rc(rows, cols)
-        self.rows = rows[order]
-        self.cols = np.asarray(cols, dtype=np.int64)[order]
-        self.vals = np.asarray(vals)[order]
+        self.rows = take1(rows, order)
+        self.cols = take1(cols, order)
+        self.vals = take1(np.asarray(vals), order)
         self.nnz_total = int(self.rows.size)
         self.run_tables: List[RunTable] = []
         self.block_tables: List[BlockTable] = []
@@ -194,7 +194,7 @@ class Encoder:
     def _extract_runs(self, t: EncType, res: MiningResult) -> None:
         """Turn mined run units into RunTables and remove covered singles."""
         order = res.order
-        vals_sorted = self.vals[order]
+        vals_sorted = take1(self.vals, order)
         covered = res.covered
         for ru in res.runs:
             if ru.heads.size == 0:
@@ -212,10 +212,12 @@ class Encoder:
                 value_dtype=self.cfg.value_dtype,
                 index_dtype=self.cfg.index_dtype))
         keep = ~covered
-        self.rows = self.rows[order][keep]
-        self.cols = self.cols[order][keep]
+        self.rows = take1(self.rows, order)[keep]
+        self.cols = take1(self.cols, order)[keep]
         self.vals = vals_sorted[keep]
-        self._resort()
+        # NOTE: elements stay in the mined type's iteration order (the
+        # reference also keeps its partition in the last Transform's order,
+        # SparsePartition.hpp:680-744); finalize() restores row-major.
 
     def _extract_blocks(self, t: EncType, res: MiningResult) -> None:
         br = res.block_runs
@@ -224,7 +226,7 @@ class Encoder:
         align = br.align
         kmax = max(2, self.cfg.max_unit_size // align)
         order = res.order
-        vals_sorted = self.vals[order]
+        vals_sorted = take1(self.vals, order)
         m = vals_sorted.size
         covered = np.zeros(m, dtype=bool)
 
@@ -274,15 +276,15 @@ class Encoder:
             )
 
         keep = ~covered
-        self.rows = self.rows[order][keep]
-        self.cols = self.cols[order][keep]
+        self.rows = take1(self.rows, order)[keep]
+        self.cols = take1(self.cols, order)[keep]
         self.vals = vals_sorted[keep]
-        self._resort()
 
     def _resort(self) -> None:
         order = lexsort_rc(self.rows, self.cols)
-        self.rows, self.cols = self.rows[order], self.cols[order]
-        self.vals = self.vals[order]
+        self.rows = take1(self.rows, order)
+        self.cols = take1(self.cols, order)
+        self.vals = take1(self.vals, order)
 
     def encode_type(self, t: EncType,
                     allowed_deltas: Optional[Sequence[int]] = None) -> None:
@@ -350,6 +352,7 @@ class Encoder:
     # ------------------------------------------------------------------
     def finalize(self, row_start: int = 0) -> CsxTables:
         """Package leftovers as the delta (CSR) table and emit CsxTables."""
+        self._resort()  # back to row-major for the CSR delta table
         idt = self.cfg.index_dtype
         rowptr = np.zeros(self.nrows + 1, dtype=np.int64)
         np.add.at(rowptr, self.rows + 1, 1)

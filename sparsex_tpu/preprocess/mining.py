@@ -31,6 +31,26 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 
+def take1(arr: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """arr[order] via the threaded native permute when profitable."""
+    from sparsex_tpu import native
+    return native.take1(np.ascontiguousarray(arr), order)
+
+
+def covered_mask(start_elem: np.ndarray, count: np.ndarray,
+                 m: int) -> np.ndarray:
+    """Boolean coverage mask over m sorted elements for runs
+    [start, start+count) — native scan, diff/cumsum fallback."""
+    from sparsex_tpu import native
+    out = native.mark_covered(start_elem, count, m)
+    if out is not None:
+        return out
+    diff = np.zeros(m + 1, dtype=np.int64)
+    np.add.at(diff, start_elem, 1)
+    np.add.at(diff, np.minimum(start_elem + count, m), -1)
+    return np.cumsum(diff[:-1]) > 0
+
+
 def lexsort_rc(rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
     """Row-major lexsort permutation (native radix sort when available —
     the Transform hot path is sort-bound, SURVEY §3.1)."""
@@ -193,7 +213,7 @@ def mine_runs(trows: np.ndarray, tcols: np.ndarray, *,
         tr, tc = trows, tcols
     else:
         order = lexsort_rc(trows, tcols)
-        tr, tc = trows[order], tcols[order]
+        tr, tc = take1(trows, order), take1(tcols, order)
     res = MiningResult(order=order, trows=tr, tcols=tc)
     m = tr.size
     covered = np.zeros(m, dtype=bool)
@@ -248,11 +268,7 @@ def mine_runs(trows: np.ndarray, tcols: np.ndarray, *,
     sizes = np.where(u < nfull[unit_run], max_limit, rem[unit_run])
     udelta = rdelta[unit_run]
 
-    # Coverage mask via difference trick.
-    diff = np.zeros(m + 1, dtype=np.int64)
-    np.add.at(diff, start_elem, 1)
-    np.add.at(diff, start_elem + covered_count, -1)
-    covered[:] = np.cumsum(diff[:-1]) > 0
+    covered[:] = covered_mask(start_elem, covered_count, m)
 
     for dv in np.unique(udelta):
         mask = udelta == dv
@@ -278,7 +294,7 @@ def mine_blocks(trows: np.ndarray, tcols: np.ndarray, *,
         tr, tc = trows, tcols
     else:
         order = lexsort_rc(trows, tcols)
-        tr, tc = trows[order], tcols[order]
+        tr, tc = take1(trows, order), take1(tcols, order)
     res = MiningResult(order=order, trows=tr, tcols=tc)
     m = tr.size
     covered = np.zeros(m, dtype=bool)
@@ -308,10 +324,7 @@ def mine_blocks(trows: np.ndarray, tcols: np.ndarray, *,
     start_elem, other_dim = start_elem[ok], other_dim[ok]
 
     covered_count = other_dim * align
-    diff = np.zeros(m + 1, dtype=np.int64)
-    np.add.at(diff, start_elem, 1)
-    np.add.at(diff, start_elem + covered_count, -1)
-    covered[:] = np.cumsum(diff[:-1]) > 0
+    covered[:] = covered_mask(start_elem, covered_count, m)
 
     res.block_runs = BlockRuns(align=align, heads=start_elem,
                                other_dims=other_dim)

@@ -34,7 +34,7 @@ from sparsex_tpu.ops.kernels import local_contrib, static_meta, tables_to_arrays
 from sparsex_tpu.parallel.partition import row_counts_from_coo, split_rows_by_nnz
 from sparsex_tpu.preprocess.encoder import Encoder
 from sparsex_tpu.preprocess.encodings import EncType
-from sparsex_tpu.preprocess.mining import lexsort_rc
+from sparsex_tpu.preprocess.mining import lexsort_rc, take1
 from sparsex_tpu.preprocess.tables import CsxTables
 from sparsex_tpu.preprocess.xform import run_step
 
@@ -175,7 +175,8 @@ def build_symmetric_csx(nrows: int, ncols: int, rows, cols, vals, *,
     mat.partition = part
 
     order = lexsort_rc(rows, cols)
-    rows, cols, vals = rows[order], cols[order], vals[order]
+    rows, cols = take1(rows, order), take1(cols, order)
+    vals = take1(vals, order)
     bounds = np.searchsorted(rows, part.row_start + [nrows])
     for i in range(nparts):
         lo, hi = bounds[i], bounds[i + 1]
