@@ -137,3 +137,25 @@ def print_vec(v) -> str:
     s = " ".join(f"{float(x):.6g}" for x in np.asarray(v))
     print(s)
     return s
+
+
+def init_from_map(buffers, val, idx_map) -> None:
+    """spx internal ``VecInitFromMap`` parity (ref ``src/internals/
+    CsxSpmv.cpp:66-85``): set only the cross-shard slots listed in the
+    reduction map.  ``idx_map`` is a sequence of (buffer_index, element)
+    pairs.  The TPU executor replaces this whole mechanism with a ``psum``
+    over the mesh (``parallel/shard.py``); this shim exists for API parity
+    and host-side testing.
+    """
+    for b, i in idx_map:
+        buffers[b][i] = val
+
+
+def add_from_map(dst, buffers, idx_map):
+    """spx internal ``VecAddFromMap`` parity: accumulate the cross-shard
+    slots of every partial buffer into ``dst`` (the reference's symmetric
+    reduction; on TPU this is ``lax.psum``)."""
+    out = np.array(dst, copy=True)
+    for b, i in idx_map:
+        out[i] += buffers[b][i]
+    return out

@@ -65,3 +65,13 @@ def row_counts_from_coo(rows: np.ndarray, nrows: int) -> np.ndarray:
     counts = np.zeros(nrows, dtype=np.int64)
     np.add.at(counts, np.asarray(rows, dtype=np.int64), 1)
     return counts
+
+
+def load_imbalance(per_shard_secs) -> float:
+    """(max - min) / min over per-shard kernel seconds — the reference's
+    load-imbalance metric (ref ``test/src/SpmvTest.cpp:35-60``)."""
+    import numpy as _np
+    secs = _np.asarray(list(per_shard_secs), dtype=float)
+    if secs.size == 0 or secs.min() <= 0:
+        return 0.0
+    return float((secs.max() - secs.min()) / secs.min())

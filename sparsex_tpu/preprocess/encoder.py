@@ -348,6 +348,13 @@ class Encoder:
             self.encode_serial(seq)
         else:
             self.encode_all()
+        # parity: "==== PREPROCESSING TIMING STATISTICS ====" report
+        # (ref EncodingManager.hpp:958-959), printed at INFO
+        log_info("==== PREPROCESSING TIMING STATISTICS ====")
+        for name in ("Total", "Stats", "Encode"):
+            log_info("  %s: %.6f s", name, self.timers.get_secs(name))
+        log_info("  encoding sequence: %s",
+                 ",".join(self.encoding_log) or "none")
 
     # ------------------------------------------------------------------
     def finalize(self, row_start: int = 0) -> CsxTables:
