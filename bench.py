@@ -82,28 +82,25 @@ def _slope_time(make_fn, k1: int, k2: int, outer: int):
     return max(t2 - t1, 1e-9) / (k2 - k1), t1, t2
 
 
-def measure_gather_ns():
-    """Measured per-element cost of an arbitrary gather + sorted segment-sum
-    (the two unavoidable ops of the leftover-singles path).  TPU has no
-    vectorized arbitrary gather — XLA serializes it — so this is a hardware
-    roofline term alongside HBM bandwidth."""
+def measure_scatter_ns():
+    """Measured per-element cost of an arbitrary scatter-add — the one op
+    the leftover-singles path cannot avoid on TPU (the x-side gather is
+    eliminated by the page-bucketed Pallas kernel, but products must still
+    land on arbitrary output rows; TPU serializes arbitrary scatters)."""
     import jax
     import jax.numpy as jnp
 
     n, m = 1 << 20, 1 << 20
     rng = np.random.default_rng(2)
-    x = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
     idx = jnp.asarray(rng.integers(0, n, m), dtype=jnp.int32)
-    seg = jnp.asarray(np.sort(rng.integers(0, n, m)), dtype=jnp.int32)
     vals = jnp.asarray(rng.standard_normal(m), dtype=jnp.float32)
 
     def make(k):
         @jax.jit
         def rep():
             def body(c, _):
-                g = jnp.take(x * c[0], idx, mode="clip") * vals
-                y = jax.ops.segment_sum(g, seg, num_segments=n,
-                                        indices_are_sorted=True)
+                y = jnp.zeros(n, jnp.float32).at[idx].add(
+                    vals * c[0], mode="drop")
                 return c * 0.999 + y[:1] * 1e-9, ()
             c, _ = jax.lax.scan(body, jnp.ones(1, jnp.float32), None,
                                 length=k)
@@ -169,8 +166,11 @@ def main():
         f"runs={[(t.enc.name, t.delta, t.width, t.rows.size) for t in tables.runs]} "
         f"blocks={[(t.enc.name, t.br, t.bc, t.rows.size) for t in tables.blocks]}")
 
-    meta = _static_meta(tables)
     ex = mat.executors[0]
+    ex._maybe_build_pages()  # reorganize delta into the Pallas page layout
+    meta = ex.meta
+    if len(meta) > 5:
+        log(f"delta-pages layout: T={meta[5][1]} q={meta[5][2]}")
     arrays = jax.device_put(ex.arrays)
     spmv = _compiled(meta, "float32", _resolve_use_pallas(tables))
     zeros = jnp.zeros(N, dtype=jnp.float32)
@@ -200,17 +200,18 @@ def main():
     mflops = 2 * nnz / (1e6 * per_iter)
 
     bw = measure_hbm_bw()
-    gather_ns = measure_gather_ns()
+    scatter_ns = measure_scatter_ns()
     log(f"measured HBM BW (triad): {bw / 1e9:.0f} GB/s; "
-        f"gather+segsum floor: {gather_ns:.1f} ns/element")
-    # Machine roofline = HBM term + serial-gather term.  The HBM term is one
-    # pass over the compressed tables + x read + y write + renormalization;
-    # the gather term is the measured per-element cost of the arbitrary
-    # gather + sorted segment-sum that the leftover-singles (delta) path
-    # cannot avoid on TPU (no vectorized hardware gather).
+        f"scatter floor: {scatter_ns:.1f} ns/element")
+    # Machine roofline = HBM term + serial-scatter term.  The HBM term is
+    # one pass over the compressed tables + x read + y write +
+    # renormalization; the scatter term is the measured per-element cost of
+    # the arbitrary scatter-add that the leftover-singles (delta) path
+    # cannot avoid on TPU (the x-side gather is done at VREG speed by the
+    # page-bucketed Pallas kernel).
     bytes_per_iter = csx_bytes + 4 * N * 4
     delta_nnz = sum(t.delta.nnz for t in mat.shards)
-    t_roofline = bytes_per_iter / bw + delta_nnz * gather_ns * 1e-9
+    t_roofline = bytes_per_iter / bw + delta_nnz * scatter_ns * 1e-9
     sol_nnz_per_s = nnz / t_roofline
     hbm_only = nnz / (bytes_per_iter / bw)
     frac = nnz_per_s / sol_nnz_per_s

@@ -17,7 +17,7 @@ per pattern set.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -30,7 +30,11 @@ _static_meta = static_meta
 
 @functools.lru_cache(maxsize=128)
 def _compiled(meta: Tuple, dtype_str: str, use_pallas: bool = False):
-    """Build + jit the executor for one static table signature."""
+    """Build + jit the executor for one static table signature.
+
+    ``meta`` may carry a 6th element ``("dpages", T, q, npages)`` when the
+    delta table uses the page-bucketed Pallas layout.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -44,8 +48,19 @@ def _compiled(meta: Tuple, dtype_str: str, use_pallas: bool = False):
     return jax.jit(fn)
 
 
+def _pallas_mode() -> Optional[bool]:
+    """None = auto; True/False = forced."""
+    from sparsex_tpu.config import Config
+    mode = Config.instance().use_pallas
+    if mode == "off":
+        return False
+    if mode == "on":
+        return True
+    return None
+
+
 def _resolve_use_pallas(tables: CsxTables = None) -> bool:
-    """Per-matrix Pallas policy.
+    """Per-matrix policy for the fused DIA Pallas kernel.
 
     Measured on v5e: the XLA DIA window-sum overlaps with (hides under) the
     serial delta gather when leftover singles dominate, so a Pallas custom
@@ -55,12 +70,9 @@ def _resolve_use_pallas(tables: CsxTables = None) -> bool:
     cheaper than the XLA DIA passes it would otherwise hide under:
     delta_nnz * ~16 ns  <  dia_rows * ~32 B / HBM_BW.
     """
-    from sparsex_tpu.config import Config
-    mode = Config.instance().use_pallas
-    if mode == "off":
-        return False
-    if mode == "on":
-        return True
+    forced = _pallas_mode()
+    if forced is not None:
+        return forced
     from sparsex_tpu.ops.pallas_kernels import dia_pallas_ok
     if not dia_pallas_ok():
         return False
@@ -69,6 +81,20 @@ def _resolve_use_pallas(tables: CsxTables = None) -> bool:
     delta_nnz = tables.delta.nnz if tables.delta else 0
     dia_rows = sum(t.ndiags for t in tables.dias) * tables.nrows
     return delta_nnz * 16e-9 < dia_rows * 32.0 / 600e9
+
+
+def _resolve_delta_pages(tables: CsxTables) -> bool:
+    """Per-matrix policy for the page-bucketed delta kernel: beneficial
+    whenever the delta table is large and x fits in VMEM (it halves the
+    ~15 ns/element gather+segsum floor to scatter-only ~7 ns)."""
+    forced = _pallas_mode()
+    if forced is False:
+        return False
+    from sparsex_tpu.ops.pallas_kernels import MAX_X_VMEM, dia_pallas_ok
+    if not dia_pallas_ok():
+        return False
+    delta_nnz = tables.delta.nnz if tables.delta else 0
+    return delta_nnz >= (1 << 14) and tables.ncols * 4 <= MAX_X_VMEM
 
 
 class CsxExecutor:
@@ -80,10 +106,41 @@ class CsxExecutor:
         self.arrays = tables_to_arrays(tables)
         self._dtype = str(np.dtype(tables.delta.vals.dtype)
                           if tables.delta is not None else "float64")
-        self._use_pallas = None  # resolved lazily (config may change)
+        self._pages_built = False
+
+    def _maybe_build_pages(self) -> None:
+        """Lazily reorganize the delta table into the page-bucketed layout
+        (host-side argsort by column; done once per executor)."""
+        if self._pages_built or not _resolve_delta_pages(self.tables):
+            self._pages_built = True
+            return
+        self._pages_built = True
+        d = self.tables.delta
+        if d is None or not d.nnz:
+            return
+        from sparsex_tpu.ops.pallas_kernels import build_delta_pages
+        rep, leftover = build_delta_pages(
+            np.asarray(d.cols, dtype=np.int64),
+            np.asarray(d.row_ids, dtype=np.int64),
+            np.asarray(d.vals), self.tables.ncols, self.tables.nrows)
+        if rep is None:
+            return
+        q, npages = rep.pop("q"), rep.pop("npages")
+        T = rep["plo"].size
+        self.arrays = dict(self.arrays)
+        self.arrays["delta_pages"] = rep
+        if leftover.size:
+            lo = np.sort(leftover)
+            self.arrays["delta"] = {
+                "row_ids": d.row_ids[lo], "cols": d.cols[lo],
+                "vals": d.vals[lo]}
+        else:
+            self.arrays["delta"] = None
+        self.meta = self.meta + (("dpages", T, q, npages),)
 
     def __call__(self, x, alpha=1.0, beta=0.0, y=None):
         import jax.numpy as jnp
+        self._maybe_build_pages()
         x = jnp.asarray(x)
         y0 = (jnp.zeros(self.meta[0], dtype=x.dtype)
               if y is None else jnp.asarray(y))

@@ -257,7 +257,7 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
     import jax
     import jax.numpy as jnp
 
-    _nr, _nc, run_meta, block_meta, dia_meta = meta
+    _nr, _nc, run_meta, block_meta, dia_meta = meta[:5]
     dtype = x.dtype
     acc = jnp.zeros(nrows_part, dtype=dtype)
     z = None
@@ -279,6 +279,14 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
                               ncols=ncols, use_pallas=use_pallas)
         if symmetric:
             z = z2
+
+    # --- page-bucketed delta (Pallas x-gather + XLA scatter) ---
+    dpages_meta = meta[5] if len(meta) > 5 else None
+    if dpages_meta is not None and "delta_pages" in arrs:
+        from sparsex_tpu.ops.pallas_kernels import delta_pages_spmv
+        _tag, T, q, npages = dpages_meta
+        acc = delta_pages_spmv((T, q, npages), arrs["delta_pages"], x,
+                               nrows_part, ncols, acc)
 
     # --- delta singles: gather + sorted segment-sum ---
     d = arrs["delta"]

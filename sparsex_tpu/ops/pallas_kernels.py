@@ -99,6 +99,154 @@ def _build_dia_kernel(offsets: Tuple[int, ...], nrows_pad: int,
     return fn
 
 
+# ---------------------------------------------------------------------------
+# Page-bucketed delta (leftover singles) gather kernel
+# ---------------------------------------------------------------------------
+# XLA serializes arbitrary gathers (~6.6 ns/element on v5e).  Mosaic's only
+# vectorized gather is within one (8, 128) VREG (dynamic_gather along
+# sublanes or lanes), so the x side of the delta SpMV is reorganized at
+# build time: elements are sorted by column; consecutive 1024-element tiles
+# then cover a *contiguous* range of Q x-pages (one page = 1024 elements =
+# one (8,128) VREG tile), and the kernel gathers each tile's x values from
+# VMEM with Q*8 lane-shuffles + selects.  The y-side scatter stays in XLA
+# (it has no page locality), so the delta path cost drops from
+# gather+segsum (~15 ns/el) to scatter-only (~7 ns/el).
+
+PAGE = 1024           # x elements per page = one f32 VREG tile
+DELTA_TILE = 1024     # elements per kernel tile = (8, 128)
+MAX_Q = 8             # max contiguous pages one tile may span
+MAX_X_VMEM = 8 * 1024 * 1024  # keep x2 fully in VMEM below this size
+
+
+def build_delta_pages(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
+                      ncols: int, nrows_part: int):
+    """Host-side layout for the page-bucketed delta kernel.
+
+    Returns (pages_rep, leftover_idx) where ``pages_rep`` is None when the
+    layout isn't applicable; ``leftover_idx`` indexes elements whose tile
+    would span more than MAX_Q pages (they stay on the XLA path).
+    """
+    m = cols.size
+    if m < (1 << 14) or ncols * 4 > MAX_X_VMEM:
+        return None, None
+    order = np.argsort(cols, kind="stable")
+    csort = cols[order].astype(np.int64)
+    npages = -(-ncols // PAGE)
+
+    # split into tiles of DELTA_TILE consecutive (col-sorted) elements and
+    # spill tiles spanning too many pages
+    keep_tiles = []
+    leftover = []
+    for t0 in range(0, m, DELTA_TILE):
+        t1 = min(m, t0 + DELTA_TILE)
+        p_lo = int(csort[t0] // PAGE)
+        p_hi = int(csort[t1 - 1] // PAGE)
+        if p_hi - p_lo + 1 > MAX_Q:
+            leftover.append(order[t0:t1])
+        else:
+            keep_tiles.append((t0, t1, p_lo))
+    if not keep_tiles or sum(t1 - t0 for t0, t1, _ in keep_tiles) < m // 2:
+        return None, None
+
+    T = len(keep_tiles)
+    q = max(min(int(csort[t1 - 1] // PAGE) - plo + 1, MAX_Q)
+            for t0, t1, plo in keep_tiles)
+    # clamp p_lo so the Q-page window stays inside x2
+    plo_arr = np.zeros(T, dtype=np.int32)
+    sub = np.zeros((T, DELTA_TILE), dtype=np.int32)
+    lane = np.zeros((T, DELTA_TILE), dtype=np.int32)
+    v = np.zeros((T, DELTA_TILE), dtype=vals.dtype)
+    r = np.full((T, DELTA_TILE), nrows_part, dtype=np.int32)  # pad -> drop
+    for ti, (t0, t1, plo) in enumerate(keep_tiles):
+        plo = min(plo, max(0, npages - q))
+        plo_arr[ti] = plo
+        sel = order[t0:t1]
+        c = cols[sel].astype(np.int64)
+        off = c - plo * PAGE  # in [0, q*PAGE)
+        n = sel.size
+        sub[ti, :n] = (off // 128).astype(np.int32)   # row in (q*8, 128)
+        lane[ti, :n] = (off % 128).astype(np.int32)
+        v[ti, :n] = vals[sel]
+        r[ti, :n] = rows[sel]
+    rep = {
+        "plo": plo_arr,
+        "sub": sub.reshape(T, 8, 128),
+        "lane": lane.reshape(T, 8, 128),
+        "vals": v.reshape(T, 8, 128),
+        "rows": r.reshape(T * DELTA_TILE),
+        "q": int(q),
+        "npages": int(npages),
+    }
+    leftover_idx = (np.concatenate(leftover) if leftover
+                    else np.zeros(0, dtype=np.int64))
+    return rep, leftover_idx
+
+
+@functools.lru_cache(maxsize=64)
+def _build_delta_kernel(T: int, q: int, npages: int, dtype_str: str):
+    """Kernel: per tile, gather 1024 x values from the tile's q-page window
+    (VMEM) and multiply by the element values -> products tile."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = jnp.dtype(dtype_str)
+    QR = q * 8  # rows in the page window
+
+    def kernel(plo_ref, sub_ref, lane_ref, val_ref, x_ref, out_ref):
+        plo = plo_ref[pl.program_id(0)]
+        xcat = x_ref[pl.ds(plo * 8, QR), :]  # (q*8, 128) window
+        sub = sub_ref[0]
+        lane = lane_ref[0]
+        total = jnp.zeros((8, 128), dtype=dtype)
+        for k in range(QR):
+            rowk = jax.lax.broadcast_in_dim(xcat[k, :], (8, 128), (1,))
+            tk = jnp.take_along_axis(rowk, lane, axis=1)
+            total = total + jnp.where(sub == k, tk, jnp.zeros((), dtype))
+        out_ref[0] = total * val_ref[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda i, m: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i, m: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i, m: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x2 resident
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i, m: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, 8, 128), dtype),
+    )
+
+    def fn(plo, sub, lane, vals, x2):
+        return call(plo, sub, lane, vals, x2)
+
+    return fn
+
+
+def delta_pages_spmv(rep_meta, rep, x, nrows_part: int, ncols: int, acc):
+    """acc += scatter(products) for the page-bucketed delta elements."""
+    import jax.numpy as jnp
+
+    T, q, npages = rep_meta
+    n2 = npages * 8
+    x2 = jnp.zeros(n2 * 128, dtype=x.dtype).at[: ncols].set(x)
+    x2 = x2.reshape(n2, 128)
+    fn = _build_delta_kernel(T, q, npages, str(np.dtype(x.dtype)))
+    prods = fn(rep["plo"], rep["sub"], rep["lane"], rep["vals"], x2)
+    return acc.at[rep["rows"]].add(prods.reshape(-1), mode="drop")
+
+
 def dia_pallas_ok() -> bool:
     """Whether the Pallas DIA kernel can run on the current backend."""
     import jax

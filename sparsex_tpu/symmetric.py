@@ -83,10 +83,15 @@ class SymCsxMatrix(CsxMatrix):
                      f"x has {x.shape[0]} entries, expected {self.ncols}")
         y_parts = []
         z_total = jnp.zeros(self.nrows, dtype=x.dtype)
-        for tables, dvals, ex in zip(self.shards, self.dvalues,
-                                     self.executors):
+        if not hasattr(self, "_sym_arrays"):
+            # own array pytrees: the single-chip executor may reorganize its
+            # copies (page-bucketed delta) which the symmetric trace does
+            # not consume
+            self._sym_arrays = [tables_to_arrays(t) for t in self.shards]
+        for tables, dvals, arrs in zip(self.shards, self.dvalues,
+                                       self._sym_arrays):
             fn = _compiled_sym(static_meta(tables), tables.row_start)
-            y_own, z = fn(ex.arrays, jnp.asarray(dvals, dtype=x.dtype), x,
+            y_own, z = fn(arrs, jnp.asarray(dvals, dtype=x.dtype), x,
                           x.dtype.type(alpha))
             y_parts.append(y_own)
             z_total = z_total + z
@@ -119,6 +124,8 @@ class SymCsxMatrix(CsxMatrix):
             self.dvalues[si][row - self.shards[si].row_start] = value
             return
         super().set_entry(row, col, value)
+        if hasattr(self, "_sym_arrays"):
+            del self._sym_arrays  # rebuilt from the mutated tables
 
     def tocoo(self):
         """Expand to full (mirrored) COO."""

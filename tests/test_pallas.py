@@ -57,6 +57,49 @@ def test_dia_pallas_interpret(offsets, nrows, ncols):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_delta_pages_layout_and_kernel_interpret(monkeypatch):
+    """Page-bucketed delta: build-time layout + kernel vs oracle."""
+    monkeypatch.setattr(pk, "DELTA_TILE", 1024)
+    rng = np.random.default_rng(0)
+    nrows, ncols = 5000, 4096
+    m = 40000
+    rows = rng.integers(0, nrows, m).astype(np.int64)
+    cols = rng.integers(0, ncols, m).astype(np.int64)
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(m).astype(np.float32)
+    rep, leftover = pk.build_delta_pages(cols, rows, vals, ncols, nrows)
+    assert rep is not None
+    q, npages = rep.pop("q"), rep.pop("npages")
+    T = rep["plo"].size
+    x = rng.standard_normal(ncols).astype(np.float32)
+    acc = jnp.zeros(nrows, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        acc = pk.delta_pages_spmv((T, q, npages), rep, jnp.asarray(x),
+                                  nrows, ncols, acc)
+    want = np.zeros(nrows, np.float64)
+    covered = np.ones(m, dtype=bool)
+    if leftover is not None and leftover.size:
+        covered[leftover] = False
+    np.add.at(want, rows[covered], vals[covered].astype(np.float64)
+              * x[cols[covered]].astype(np.float64))
+    np.testing.assert_allclose(np.asarray(acc), want, rtol=1e-4, atol=1e-4)
+
+
+def test_delta_pages_spill_tiles():
+    """Tiles spanning more than MAX_Q pages spill to the XLA path."""
+    rng = np.random.default_rng(1)
+    ncols, nrows = 1 << 20, 1000
+    m = 1 << 14
+    # ultra-sparse columns: every tile spans far more than MAX_Q pages
+    cols = np.sort(rng.choice(ncols, m, replace=False)).astype(np.int64)
+    rows = rng.integers(0, nrows, m).astype(np.int64)
+    vals = rng.standard_normal(m).astype(np.float32)
+    rep, leftover = pk.build_delta_pages(cols, rows, vals, ncols, nrows)
+    # either inapplicable (most elements spill) or spills recorded
+    assert rep is None or leftover.size > 0
+
+
 def test_full_executor_with_pallas_interpret():
     """End-to-end: executor with spx.tpu.use_pallas=on under the
     interpreter matches the oracle."""
