@@ -167,11 +167,11 @@ def main():
         f"blocks={[(t.enc.name, t.br, t.bc, t.rows.size) for t in tables.blocks]}")
 
     ex = mat.executors[0]
-    ex._maybe_build_pages()  # reorganize delta into the Pallas page layout
-    meta = ex.meta
-    if len(meta) > 5:
+    meta, arrays = ex.meta, ex.arrays
+    if ex._pages_active():  # reorganize delta into the Pallas page layout
+        meta, arrays = ex._pages_meta, ex._pages_arrays
         log(f"delta-pages layout: T={meta[5][1]} q={meta[5][2]}")
-    arrays = jax.device_put(ex.arrays)
+    arrays = jax.device_put(arrays)
     spmv = _compiled(meta, "float32", _resolve_use_pallas(tables))
     zeros = jnp.zeros(N, dtype=jnp.float32)
 

@@ -24,8 +24,11 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "kernels.cpp")
-_LIB_PATH = os.path.join(_HERE, "_lib.so")
 _ABI_VERSION = 2
+# Versioned filename: dlopen caches by path and never unmaps, so rebuilding
+# over a loaded .so would hand back the stale mapping (or SIGBUS).  A new
+# ABI gets a new path; old files just linger.
+_LIB_PATH = os.path.join(_HERE, f"_lib_v{_ABI_VERSION}.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -97,12 +100,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(_LIB_PATH)
             if lib.spx_native_abi_version() != _ABI_VERSION:
-                if not _build():
-                    return None
-                lib = ctypes.CDLL(_LIB_PATH)
+                return None  # path is ABI-versioned; mismatch = corrupt
             _bind(lib)
             _lib = lib
-        except OSError:
+        except (OSError, AttributeError):
             _lib = None
     return _lib
 
@@ -254,11 +255,11 @@ def permute(arr: np.ndarray, order: np.ndarray):
     if lib is None or arr.ndim != 1 or not arr.flags.c_contiguous:
         return None
     order = np.ascontiguousarray(order, dtype=np.int64)
-    out = np.empty_like(arr)
+    out = np.empty(order.size, dtype=arr.dtype)
     lib.spx_permute(
         arr.ctypes.data_as(ctypes.c_char_p),
         out.ctypes.data_as(ctypes.c_char_p),
-        _ptr(order, ctypes.c_longlong), arr.size, arr.itemsize,
+        _ptr(order, ctypes.c_longlong), order.size, arr.itemsize,
         min(16, os.cpu_count() or 1))
     return out
 

@@ -37,8 +37,13 @@ long long spx_parse_mmf_body(const char *buf, long long len,
   const char *p = buf;
   const char *end = buf + len;
   long long n = 0;
+  // Line discipline: each entry must occupy exactly one line with exactly
+  // 2 (pattern) or 3 (real) fields — a 2-column line in a 'real' file must
+  // be rejected, not re-tokenized across lines.
+  auto skip_spaces = [&]() {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+  };
   while (p < end && n < max_entries) {
-    // skip whitespace / newlines
     while (p < end && (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n'))
       ++p;
     if (p >= end) break;
@@ -46,19 +51,29 @@ long long spx_parse_mmf_body(const char *buf, long long len,
       while (p < end && *p != '\n') ++p;
       continue;
     }
+    const char *line_start = p;
     char *next = nullptr;
     long long r = std::strtoll(p, &next, 10);
-    if (next == p) return -(1 + (long long)(p - buf));
+    if (next == p) return -(1 + (long long)(line_start - buf));
     p = next;
+    skip_spaces();
+    if (p >= end || *p == '\n')  // missing column field
+      return -(1 + (long long)(line_start - buf));
     long long c = std::strtoll(p, &next, 10);
-    if (next == p) return -(1 + (long long)(p - buf));
+    if (next == p) return -(1 + (long long)(line_start - buf));
     p = next;
     double v = 1.0;
     if (with_vals) {
+      skip_spaces();
+      if (p < end && *p == '\n')  // missing value column
+        return -(1 + (long long)(line_start - buf));
       v = std::strtod(p, &next);
-      if (next == p) return -(1 + (long long)(p - buf));
+      if (next == p) return -(1 + (long long)(line_start - buf));
       p = next;
     }
+    skip_spaces();
+    if (p < end && *p != '\n')  // extra tokens on the line
+      return -(1 + (long long)(line_start - buf));
     rows[n] = r;
     cols[n] = c;
     if (with_vals) vals[n] = v;

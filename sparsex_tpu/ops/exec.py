@@ -83,22 +83,15 @@ def _resolve_use_pallas(tables: CsxTables = None) -> bool:
     return delta_nnz * 16e-9 < dia_rows * 32.0 / 600e9
 
 
-def _resolve_delta_pages(tables: CsxTables) -> bool:
-    """Per-matrix policy for the page-bucketed delta kernel: beneficial
-    whenever the delta table is large and x fits in VMEM (it halves the
-    ~15 ns/element gather+segsum floor to scatter-only ~7 ns)."""
-    forced = _pallas_mode()
-    if forced is False:
-        return False
-    from sparsex_tpu.ops.pallas_kernels import MAX_X_VMEM, dia_pallas_ok
-    if not dia_pallas_ok():
-        return False
-    delta_nnz = tables.delta.nnz if tables.delta else 0
-    return delta_nnz >= (1 << 14) and tables.ncols * 4 <= MAX_X_VMEM
-
-
 class CsxExecutor:
-    """Callable SpMV executor for one encoded partition."""
+    """Callable SpMV executor for one encoded partition.
+
+    Keeps two array/meta variants: the plain-table form (always available;
+    used when Pallas is off or the backend lacks it) and, built lazily, the
+    page-bucketed delta form (see ``pallas_kernels.build_delta_pages`` —
+    the single applicability gate).  The per-call config decides which
+    variant executes.
+    """
 
     def __init__(self, tables: CsxTables):
         self.tables = tables
@@ -106,15 +99,17 @@ class CsxExecutor:
         self.arrays = tables_to_arrays(tables)
         self._dtype = str(np.dtype(tables.delta.vals.dtype)
                           if tables.delta is not None else "float64")
-        self._pages_built = False
+        self._pages_tried = False
+        self._pages_meta = None
+        self._pages_arrays = None
 
     def _maybe_build_pages(self) -> None:
         """Lazily reorganize the delta table into the page-bucketed layout
-        (host-side argsort by column; done once per executor)."""
-        if self._pages_built or not _resolve_delta_pages(self.tables):
-            self._pages_built = True
+        (host-side argsort by column; done once per executor).
+        ``build_delta_pages`` itself decides applicability."""
+        if self._pages_tried:
             return
-        self._pages_built = True
+        self._pages_tried = True
         d = self.tables.delta
         if d is None or not d.nnz:
             return
@@ -127,23 +122,34 @@ class CsxExecutor:
             return
         q, npages = rep.pop("q"), rep.pop("npages")
         T = rep["plo"].size
-        self.arrays = dict(self.arrays)
-        self.arrays["delta_pages"] = rep
+        arrays = dict(self.arrays)
+        arrays["delta_pages"] = rep
         if leftover.size:
             lo = np.sort(leftover)
-            self.arrays["delta"] = {
+            arrays["delta"] = {
                 "row_ids": d.row_ids[lo], "cols": d.cols[lo],
                 "vals": d.vals[lo]}
         else:
-            self.arrays["delta"] = None
-        self.meta = self.meta + (("dpages", T, q, npages),)
+            arrays["delta"] = None
+        self._pages_arrays = arrays
+        self._pages_meta = self.meta + (("dpages", T, q, npages),)
+
+    def _pages_active(self) -> bool:
+        if _pallas_mode() is False:
+            return False
+        from sparsex_tpu.ops.pallas_kernels import dia_pallas_ok
+        if not dia_pallas_ok():
+            return False
+        self._maybe_build_pages()
+        return self._pages_meta is not None
 
     def __call__(self, x, alpha=1.0, beta=0.0, y=None):
         import jax.numpy as jnp
-        self._maybe_build_pages()
+        meta, arrays = self.meta, self.arrays
+        if self._pages_active():
+            meta, arrays = self._pages_meta, self._pages_arrays
         x = jnp.asarray(x)
-        y0 = (jnp.zeros(self.meta[0], dtype=x.dtype)
+        y0 = (jnp.zeros(meta[0], dtype=x.dtype)
               if y is None else jnp.asarray(y))
-        fn = _compiled(self.meta, self._dtype,
-                       _resolve_use_pallas(self.tables))
-        return fn(self.arrays, x, x.dtype.type(alpha), x.dtype.type(beta), y0)
+        fn = _compiled(meta, self._dtype, _resolve_use_pallas(self.tables))
+        return fn(arrays, x, x.dtype.type(alpha), x.dtype.type(beta), y0)

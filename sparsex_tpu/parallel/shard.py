@@ -274,6 +274,13 @@ class ShardedCsx:
         if mode == "auto":
             mode = ("halo" if not self.symmetric
                     and 2 * k + 1 < n_dev else "replicated")
+        elif mode == "halo" and self.symmetric:
+            # the halo program computes only the local lower-triangle
+            # partials; silently dropping D*x and L^T*x is never acceptable
+            raise ValueError(
+                "spx.tpu.x_mode=halo is not supported for symmetric "
+                "matrices (transposed contributions need the full x); "
+                "use auto or replicated")
         self.x_mode = mode
 
         # Place each shard's tables in its device's memory (the reference's
