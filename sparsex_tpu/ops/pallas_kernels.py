@@ -115,7 +115,7 @@ def _build_dia_kernel(offsets: Tuple[int, ...], nrows_pad: int,
 PAGE = 1024           # x elements per page = one f32 VREG tile
 DELTA_TILE = 1024     # elements per kernel tile = (8, 128)
 MAX_Q = 8             # max contiguous pages one tile may span
-MAX_X_VMEM = 8 * 1024 * 1024  # keep x2 fully in VMEM below this size
+# (x pages are streamed HBM->VMEM by the pipeline; ncols is unbounded)
 
 
 def build_delta_pages(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
@@ -127,7 +127,7 @@ def build_delta_pages(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
     would span more than MAX_Q pages (they stay on the XLA path).
     """
     m = cols.size
-    if m < (1 << 14) or ncols * 4 > MAX_X_VMEM:
+    if m < (1 << 14):
         return None, None
     order = np.argsort(cols, kind="stable")
     csort = cols[order].astype(np.int64)
@@ -185,39 +185,44 @@ def build_delta_pages(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
 @functools.lru_cache(maxsize=64)
 def _build_delta_kernel(T: int, q: int, npages: int, dtype_str: str):
     """Kernel: per tile, gather 1024 x values from the tile's q-page window
-    (VMEM) and multiply by the element values -> products tile."""
+    and multiply by the element values -> products tile.
+
+    The q pages are streamed HBM->VMEM by the pipeline via scalar-prefetch
+    index maps (page j of tile i = x2 block ``plo[i] + j``), so x never
+    needs to be VMEM-resident and ncols is unbounded.
+    """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     dtype = jnp.dtype(dtype_str)
-    QR = q * 8  # rows in the page window
 
-    def kernel(plo_ref, sub_ref, lane_ref, val_ref, x_ref, out_ref):
-        plo = plo_ref[pl.program_id(0)]
-        xcat = x_ref[pl.ds(plo * 8, QR), :]  # (q*8, 128) window
+    def kernel(plo_ref, sub_ref, lane_ref, val_ref, *page_refs_and_out):
+        page_refs = page_refs_and_out[:q]
+        out_ref = page_refs_and_out[q]
         sub = sub_ref[0]
         lane = lane_ref[0]
         total = jnp.zeros((8, 128), dtype=dtype)
-        for k in range(QR):
-            rowk = jax.lax.broadcast_in_dim(xcat[k, :], (8, 128), (1,))
-            tk = jnp.take_along_axis(rowk, lane, axis=1)
-            total = total + jnp.where(sub == k, tk, jnp.zeros((), dtype))
+        for j in range(q):
+            xpage = page_refs[j][0]  # (8, 128)
+            for k in range(8):
+                rowk = jax.lax.broadcast_in_dim(xpage[k, :], (8, 128), (1,))
+                tk = jnp.take_along_axis(rowk, lane, axis=1)
+                total = total + jnp.where(sub == j * 8 + k, tk,
+                                          jnp.zeros((), dtype))
         out_ref[0] = total * val_ref[0]
+
+    tile_specs = [pl.BlockSpec((1, 8, 128), lambda i, m: (i, 0, 0),
+                               memory_space=pltpu.VMEM) for _ in range(3)]
+    page_specs = [pl.BlockSpec(
+        (1, 8, 128), functools.partial(lambda i, m, j=j: (m[i] + j, 0, 0)),
+        memory_space=pltpu.VMEM) for j in range(q)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, 8, 128), lambda i, m: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda i, m: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda i, m: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x2 resident
-        ],
+        in_specs=tile_specs + page_specs,
         out_specs=pl.BlockSpec((1, 8, 128), lambda i, m: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
@@ -229,7 +234,7 @@ def _build_delta_kernel(T: int, q: int, npages: int, dtype_str: str):
     )
 
     def fn(plo, sub, lane, vals, x2):
-        return call(plo, sub, lane, vals, x2)
+        return call(plo, sub, lane, vals, *([x2] * q))
 
     return fn
 
@@ -239,10 +244,10 @@ def delta_pages_spmv(rep_meta, rep, x, nrows_part: int, ncols: int, acc):
     import jax.numpy as jnp
 
     T, q, npages = rep_meta
-    n2 = npages * 8
-    x2 = jnp.zeros(n2 * 128, dtype=x.dtype).at[: ncols].set(x)
-    x2 = x2.reshape(n2, 128)
-    fn = _build_delta_kernel(T, q, npages, str(np.dtype(x.dtype)))
+    npages_pad = max(npages, q)  # q-page windows must fit
+    x2 = jnp.zeros(npages_pad * PAGE, dtype=x.dtype).at[: ncols].set(x)
+    x2 = x2.reshape(npages_pad, 8, 128)
+    fn = _build_delta_kernel(T, q, npages_pad, str(np.dtype(x.dtype)))
     prods = fn(rep["plo"], rep["sub"], rep["lane"], rep["vals"], x2)
     return acc.at[rep["rows"]].add(prods.reshape(-1), mode="drop")
 
