@@ -13,8 +13,9 @@ inside one jit (a ``lax.scan`` with a data dependency between iterations so
 nothing can be elided), each synced by fetching one element; per-iteration
 time = (t(4K) - t(K)) / 3K, which cancels the RTT and dispatch constants.
 
-The headline metric is nnz/s on a large structured matrix (banded + blocks +
-random singles — exercises delta, run and block tables).  ``vs_baseline``
+The headline metric is nnz/s on a large structured matrix (banded diagonals
++ random singles — exercises the DIA and delta execution classes, the two
+that dominate real SpMV workloads).  ``vs_baseline``
 is measured against the BASELINE.md target: >= 85% of the HBM speed-of-light
 nnz/s for the compressed footprint (SoL = bytes_touched / measured peak HBM
 bandwidth), i.e. vs_baseline = achieved_fraction / 0.85 — 1.0 meets the

@@ -284,10 +284,17 @@ class ShardedCsx:
         self.x_mode = mode
 
         # Place each shard's tables in its device's memory (the reference's
-        # NUMA onnode placement, numa_util.c).
+        # NUMA onnode placement, numa_util.c); log the placement like the
+        # reference's allocation checks (CsxBuild.hpp:182-199).
         shard1 = NamedSharding(mesh, P(self.axis))
         self.arrays = jax.tree.map(
             lambda a: jax.device_put(a, shard1), self.arrays)
+        from sparsex_tpu.logger import log_info
+        for i, d in enumerate(mesh.devices.flat):
+            log_info("shard %d -> %s (rows [%d,%d), x_mode=%s)", i, d,
+                     self.meta["row_start"][i],
+                     self.meta["row_start"][i] + self.meta["nrows_loc"][i],
+                     self.x_mode)
         self._fn = self._build()
 
     def _build(self):
@@ -299,7 +306,10 @@ class ShardedCsx:
         meta = self.meta
         axis = self.axis
         symmetric = self.symmetric
-        gather_idx = jnp.asarray(self.gather_idx)
+        # uniform shards lay out contiguously: a reshape+trim replaces the
+        # nrows-sized gather (which costs ~6.6 ns/row on TPU)
+        uniform = all(nl == meta["max_rows"] for nl in meta["nrows_loc"][:-1])
+        gather_idx = None if uniform else jnp.asarray(self.gather_idx)
 
         def device_fn(tbl, x):
             # leading shard axis is size 1 inside shard_map: squeeze it
@@ -369,7 +379,9 @@ class ShardedCsx:
             def spmv(arrays, x, alpha, beta, y0):
                 xp = jnp.pad(x, (0, n * chunk - x.shape[0]))
                 stacked = smapped(arrays, xp)
-                yflat = stacked.reshape(-1)[gather_idx]
+                flat = stacked.reshape(-1)
+                yflat = (flat[: meta["nrows"]] if gather_idx is None
+                         else flat[gather_idx])
                 return alpha * yflat + beta * y0
         else:
             smapped = shard_map(
@@ -382,7 +394,9 @@ class ShardedCsx:
 
             def spmv(arrays, x, alpha, beta, y0):
                 stacked = smapped(arrays, x)  # (n, max_rows), row-sharded
-                yflat = stacked.reshape(-1)[gather_idx]
+                flat = stacked.reshape(-1)
+                yflat = (flat[: meta["nrows"]] if gather_idx is None
+                         else flat[gather_idx])
                 return alpha * yflat + beta * y0
 
         return jax.jit(spmv)

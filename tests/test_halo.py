@@ -102,3 +102,19 @@ def test_col_span_covers_all_tables():
     mat = CsxMatrix.from_coo(96, 96, rows, cols, vals)
     lo, hi = _col_span(mat.shards[0])
     assert lo <= int(cols.min()) and hi >= int(cols.max()) + 1
+
+
+def test_forced_halo_on_symmetric_raises():
+    """x_mode=halo would silently drop D*x and L^T*x on symmetric matrices;
+    the constructor must reject the combination (code-review regression)."""
+    from sparsex_tpu.symmetric import build_symmetric_csx
+    cfg = Config.instance()
+    cfg.set("spx.tpu.x_mode", "halo")
+    cfg.set("spx.rt.nr_threads", "2")
+    r = np.array([0, 1, 1, 2, 3])
+    c = np.array([0, 0, 1, 2, 3])
+    v = np.array([2.0, 1.0, 2.0, 2.0, 2.0])
+    mat = build_symmetric_csx(4, 4, r, c, v, already_lower=True)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("shards",))
+    with pytest.raises(ValueError, match="halo"):
+        ShardedCsx(mat, mesh=mesh)

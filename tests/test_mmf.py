@@ -66,3 +66,25 @@ def test_zero_base_and_column_wise():
 def test_wrong_count_rejected():
     with pytest.raises(SparsexError):
         load_mmf("3 3 5\n1 1 1.0\n2 2 2.0\n")
+
+
+def test_two_column_real_file_rejected():
+    """A 'real' file whose lines lack the value column must be rejected,
+    not re-tokenized across lines (code-review regression)."""
+    import pytest
+    from sparsex_tpu.errors import SparsexError
+    from sparsex_tpu.io.mmf import load_mmf
+    text = ("%%MatrixMarket matrix coordinate real general\n"
+            "3 3 2\n1 1\n2 2\n")
+    with pytest.raises(SparsexError):
+        load_mmf(text)
+
+
+def test_extra_column_rejected():
+    import pytest
+    from sparsex_tpu.errors import SparsexError
+    from sparsex_tpu.io.mmf import load_mmf
+    text = ("%%MatrixMarket matrix coordinate real general\n"
+            "2 2 2\n1 1 1.0 9\n2 2 1.0\n")
+    with pytest.raises(SparsexError):
+        load_mmf(text)
