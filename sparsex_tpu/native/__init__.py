@@ -24,7 +24,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "kernels.cpp")
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 # Versioned filename: dlopen caches by path and never unmaps, so rebuilding
 # over a loaded .so would hand back the stale mapping (or SIGBUS).  A new
 # ABI gets a new path; old files just linger.
@@ -80,6 +80,12 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.spx_permute.argtypes = [ctypes.c_char_p, ctypes.c_char_p, i64p,
                                 ctypes.c_longlong, ctypes.c_longlong,
                                 ctypes.c_int]
+    lib.spx_pad_units_f32.restype = None
+    lib.spx_pad_units_f32.argtypes = [f32p, i64p, i64p, ctypes.c_longlong,
+                                      ctypes.c_longlong, f32p, ctypes.c_int]
+    lib.spx_pad_units_f64.restype = None
+    lib.spx_pad_units_f64.argtypes = [f64p, i64p, i64p, ctypes.c_longlong,
+                                      ctypes.c_longlong, f64p, ctypes.c_int]
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -272,3 +278,26 @@ def take1(arr, order):
         if out is not None:
             return out
     return arr[order]
+
+
+def pad_units(vals: np.ndarray, heads: np.ndarray, sizes: np.ndarray,
+              width: int):
+    """(U, width) zero-padded unit values: padded[u,:sizes[u]] =
+    vals[heads[u]:+sizes[u]].  Native threaded; None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals)
+    if vals.dtype == np.float32:
+        fn, ct = lib.spx_pad_units_f32, ctypes.c_float
+    elif vals.dtype == np.float64:
+        fn, ct = lib.spx_pad_units_f64, ctypes.c_double
+    else:
+        return None
+    heads = np.ascontiguousarray(heads, dtype=np.int64)
+    sizes = np.ascontiguousarray(sizes, dtype=np.int64)
+    out = np.empty((heads.size, width), dtype=vals.dtype)
+    fn(_ptr(vals, ct), _ptr(heads, ctypes.c_longlong),
+       _ptr(sizes, ctypes.c_longlong), heads.size, width,
+       _ptr(out, ct), min(16, os.cpu_count() or 1))
+    return out

@@ -330,6 +330,66 @@ void spx_permute(const char *src, char *dst, const long long *order,
   for (auto &th : threads) th.join();
 }
 
-int spx_native_abi_version() { return 2; }
+// ---------------------------------------------------------------------------
+// Pattern-unit value padding (the extraction hot loop)
+// ---------------------------------------------------------------------------
+// padded[u, j] = vals[heads[u] + j] for j < sizes[u], else 0 — builds the
+// zero-padded (U, W) unit value table in one threaded pass (NumPy needs a
+// (U, W) index matrix + where(mask), ~3 temporaries of U*W elements).
+void spx_pad_units_f32(const float *vals, const long long *heads,
+                       const long long *sizes, long long nunits,
+                       long long width, float *padded, int nthreads) {
+  if (nthreads < 1) nthreads = 1;
+  auto worker = [&](long long u0, long long u1) {
+    for (long long u = u0; u < u1; ++u) {
+      float *dst = padded + u * width;
+      const float *src = vals + heads[u];
+      long long s = sizes[u];
+      if (s > width) s = width;
+      std::memcpy(dst, src, (size_t)s * sizeof(float));
+      if (s < width) std::memset(dst + s, 0, (size_t)(width - s) * sizeof(float));
+    }
+  };
+  if (nthreads == 1 || nunits < 1024) {
+    worker(0, nunits);
+    return;
+  }
+  std::vector<std::thread> threads;
+  long long per = (nunits + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    long long u0 = t * per, u1 = std::min(nunits, u0 + per);
+    if (u0 < u1) threads.emplace_back(worker, u0, u1);
+  }
+  for (auto &th : threads) th.join();
+}
+
+void spx_pad_units_f64(const double *vals, const long long *heads,
+                       const long long *sizes, long long nunits,
+                       long long width, double *padded, int nthreads) {
+  if (nthreads < 1) nthreads = 1;
+  auto worker = [&](long long u0, long long u1) {
+    for (long long u = u0; u < u1; ++u) {
+      double *dst = padded + u * width;
+      const double *src = vals + heads[u];
+      long long s = sizes[u];
+      if (s > width) s = width;
+      std::memcpy(dst, src, (size_t)s * sizeof(double));
+      if (s < width) std::memset(dst + s, 0, (size_t)(width - s) * sizeof(double));
+    }
+  };
+  if (nthreads == 1 || nunits < 1024) {
+    worker(0, nunits);
+    return;
+  }
+  std::vector<std::thread> threads;
+  long long per = (nunits + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    long long u0 = t * per, u1 = std::min(nunits, u0 + per);
+    if (u0 < u1) threads.emplace_back(worker, u0, u1);
+  }
+  for (auto &th : threads) th.join();
+}
+
+int spx_native_abi_version() { return 3; }
 
 }  // extern "C"

@@ -200,11 +200,15 @@ class Encoder:
             if ru.heads.size == 0:
                 continue
             smax = int(ru.sizes.max())
-            lane = np.arange(smax, dtype=np.int64)
-            idx = np.minimum(ru.heads[:, None] + lane[None, :],
-                             vals_sorted.size - 1)
-            mask = lane[None, :] < ru.sizes[:, None]
-            padded = np.where(mask, vals_sorted[idx], 0).astype(self.vals.dtype)
+            from sparsex_tpu import native
+            padded = native.pad_units(vals_sorted, ru.heads, ru.sizes, smax)
+            if padded is None:
+                lane = np.arange(smax, dtype=np.int64)
+                idx = np.minimum(ru.heads[:, None] + lane[None, :],
+                                 vals_sorted.size - 1)
+                mask = lane[None, :] < ru.sizes[:, None]
+                padded = np.where(mask, vals_sorted[idx],
+                                  0).astype(self.vals.dtype)
             hr, hc = from_xform(t, res.trows[ru.heads], res.tcols[ru.heads],
                                 self.nrows, self.ncols)
             self.run_tables.extend(pack_run_units(
