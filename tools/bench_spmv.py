@@ -144,8 +144,31 @@ class NativeAdapter:
         return y
 
 
+class ScipyAdapter:
+    """scipy.sparse CSR on the host — a second independent implementation
+    (the pOSKI-adapter role)."""
+
+    name = "scipy"
+
+    def __init__(self, mmf):
+        import scipy.sparse as sp
+        rows, cols, vals = mmf.tocoo()
+        self.pt = 0.0
+        self._A = sp.csr_matrix(
+            (np.asarray(vals), (np.asarray(rows), np.asarray(cols))),
+            shape=(mmf.nrows, mmf.ncols))
+        self.size = int(self._A.data.nbytes + self._A.indices.nbytes
+                        + self._A.indptr.nbytes)
+
+    def __call__(self, x, renorm=False):
+        y = self._A @ np.asarray(x)
+        if renorm:
+            y = y / max(float(np.sqrt(np.mean(y * y))), 1e-30)
+        return y
+
+
 ADAPTERS = {"sparsex": SparsexAdapter, "csr": CsrAdapter,
-            "native": NativeAdapter}
+            "native": NativeAdapter, "scipy": ScipyAdapter}
 
 
 def bench_matrix(path, libs):
@@ -197,7 +220,7 @@ def main(argv=None):
     g.add_argument("-f", "--file", help="MatrixMarket file to benchmark")
     g.add_argument("-d", "--directory", help="benchmark every matrix in DIR")
     ap.add_argument("-l", "--libs", default="sparsex,csr",
-                    help="comma-separated adapters: sparsex,csr,native")
+                    help="comma-separated adapters: sparsex,csr,native,scipy")
     ap.add_argument("--json", action="store_true",
                     help="print one JSON line per matrix")
     args = ap.parse_args(argv)
