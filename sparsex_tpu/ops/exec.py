@@ -104,35 +104,102 @@ class CsxExecutor:
         self._pages_arrays = None
 
     def _maybe_build_pages(self) -> None:
-        """Lazily reorganize the delta table into the page-bucketed layout
-        (host-side argsort by column; done once per executor).
-        ``build_delta_pages`` itself decides applicability."""
+        """Lazily reorganize tables into page-bucketed Pallas layouts
+        (host-side sorting; done once per executor): the delta table gets
+        the element-page layout, run/block tables get unit-page gather
+        plans.  ``build_delta_pages``/``build_unit_pages`` decide
+        applicability per table."""
         if self._pages_tried:
             return
         self._pages_tried = True
-        d = self.tables.delta
-        if d is None or not d.nnz:
-            return
-        from sparsex_tpu.ops.pallas_kernels import build_delta_pages
-        rep, leftover = build_delta_pages(
-            np.asarray(d.cols, dtype=np.int64),
-            np.asarray(d.row_ids, dtype=np.int64),
-            np.asarray(d.vals), self.tables.ncols, self.tables.nrows)
-        if rep is None:
-            return
-        q, npages = rep.pop("q"), rep.pop("npages")
-        T = rep["plo"].size
+        from sparsex_tpu.ops.pallas_kernels import (
+            build_delta_pages, build_unit_pages)
+        from sparsex_tpu.preprocess.xform import run_step
+
+        ncols = self.tables.ncols
         arrays = dict(self.arrays)
-        arrays["delta_pages"] = rep
-        if leftover.size:
-            lo = np.sort(leftover)
-            arrays["delta"] = {
-                "row_ids": d.row_ids[lo], "cols": d.cols[lo],
-                "vals": d.vals[lo]}
-        else:
-            arrays["delta"] = None
+        changed = False
+
+        # --- delta: element pages ---
+        dmeta_entry = None
+        d = self.tables.delta
+        if d is not None and d.nnz:
+            rep, leftover = build_delta_pages(
+                np.asarray(d.cols, dtype=np.int64),
+                np.asarray(d.row_ids, dtype=np.int64),
+                np.asarray(d.vals), ncols, self.tables.nrows)
+            if rep is not None:
+                q, npages = rep.pop("q"), rep.pop("npages")
+                T = rep["plo"].size
+                arrays["delta_pages"] = rep
+                if leftover.size:
+                    lo = np.sort(leftover)
+                    arrays["delta"] = {
+                        "row_ids": d.row_ids[lo], "cols": d.cols[lo],
+                        "vals": d.vals[lo]}
+                else:
+                    arrays["delta"] = None
+                dmeta_entry = ("dpages", T, q, npages)
+                changed = True
+
+        # --- run tables: unit-page gather plans (x-reading types only) ---
+        run_meta = []
+        run_arrays = []
+        for (enc_i, delta, width), t in zip(self.meta[2], arrays["runs"]):
+            from sparsex_tpu.preprocess.encodings import EncType
+            sr, sc = run_step(EncType(enc_i))
+            plan_entry, entry_arrays = None, t
+            if sc != 0 and width >= 2:
+                lane = np.arange(width, dtype=np.int64)
+                gidx = (t["cols"][:, None].astype(np.int64)
+                        + (sc * delta) * lane[None, :])
+                flat = np.clip(gidx, 0, ncols - 1).reshape(-1)
+                order, n_pageable, plan = build_unit_pages(flat, width,
+                                                           ncols)
+                if plan is not None:
+                    entry_arrays = {
+                        "rows": t["rows"][order], "cols": t["cols"][order],
+                        "vals": t["vals"][order],
+                        "plan": {k: plan[k] for k in ("plo", "sub", "lane")},
+                    }
+                    plan_entry = (plan["T"], plan["q"], plan["g"],
+                                  plan["npages"])
+                    changed = True
+            run_meta.append((enc_i, delta, width, plan_entry))
+            run_arrays.append(entry_arrays)
+
+        # --- block tables: unit-page gather plans ---
+        block_meta = []
+        block_arrays = []
+        for (enc_i, br, bc), t in zip(self.meta[3], arrays["blocks"]):
+            plan_entry, entry_arrays = None, t
+            if bc >= 2:
+                gidx = (t["cols"][:, None].astype(np.int64)
+                        + np.arange(bc, dtype=np.int64)[None, :])
+                flat = np.clip(gidx, 0, ncols - 1).reshape(-1)
+                order, n_pageable, plan = build_unit_pages(flat, bc, ncols)
+                if plan is not None:
+                    entry_arrays = {
+                        "rows": t["rows"][order], "cols": t["cols"][order],
+                        "vals": t["vals"][order],
+                        "plan": {k: plan[k] for k in ("plo", "sub", "lane")},
+                    }
+                    plan_entry = (plan["T"], plan["q"], plan["g"],
+                                  plan["npages"])
+                    changed = True
+            block_meta.append((enc_i, br, bc, plan_entry))
+            block_arrays.append(entry_arrays)
+
+        if not changed:
+            return
+        arrays["runs"] = run_arrays
+        arrays["blocks"] = block_arrays
         self._pages_arrays = arrays
-        self._pages_meta = self.meta + (("dpages", T, q, npages),)
+        meta = list(self.meta)
+        meta[2] = tuple(run_meta)
+        meta[3] = tuple(block_meta)
+        self._pages_meta = tuple(meta) + ((dmeta_entry,)
+                                          if dmeta_entry else ())
 
     def _pages_active(self) -> bool:
         if _pallas_mode() is False:

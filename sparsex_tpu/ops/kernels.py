@@ -299,13 +299,30 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
             xg = jnp.take(x, d["row_ids"] + row_start, mode="clip")
             z = z.at[d["cols"]].add(d["vals"] * xg, mode="drop")
 
+    def _gather_units(t, entry, gidx, width):
+        """(U, width) x values: paged-gather prefix + jnp.take tail."""
+        plan_sig = entry[3] if len(entry) > 3 else None
+        clipped = jnp.clip(gidx, 0, ncols - 1)
+        if plan_sig is None or "plan" not in t:
+            return jnp.take(x, clipped, axis=0)
+        from sparsex_tpu.ops.pallas_kernels import paged_gather
+        T, q, g, npages = plan_sig
+        xg_page = paged_gather(plan_sig, t["plan"], x, ncols,
+                               width).astype(x.dtype)
+        n_page = T * g
+        if gidx.shape[0] > n_page:
+            tail = jnp.take(x, clipped[n_page:], axis=0)
+            return jnp.concatenate([xg_page, tail], axis=0)
+        return xg_page[: gidx.shape[0]]
+
     # --- run tables ---
-    for (enc_i, delta, width), t in zip(run_meta, arrs["runs"]):
+    for entry, t in zip(run_meta, arrs["runs"]):
+        enc_i, delta, width = entry[:3]
         enc = EncType(enc_i)
         sr, sc = run_step(enc)
         lane = jnp.arange(width, dtype=jnp.int32)
         gidx = t["cols"][:, None] + (sc * delta) * lane[None, :]
-        xg = jnp.take(x, jnp.clip(gidx, 0, ncols - 1), axis=0)
+        xg = _gather_units(t, entry, gidx, width)
         contrib = t["vals"] * xg
         if sr == 0:
             # horizontal: one partial per unit
@@ -323,9 +340,10 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
                 (t["vals"] * xgr).ravel(), mode="drop")
 
     # --- block tables: MXU einsum ---
-    for (enc_i, br, bc), t in zip(block_meta, arrs["blocks"]):
+    for entry, t in zip(block_meta, arrs["blocks"]):
+        enc_i, br, bc = entry[:3]
         cidx = t["cols"][:, None] + jnp.arange(bc, dtype=jnp.int32)[None, :]
-        xg = jnp.take(x, jnp.clip(cidx, 0, ncols - 1), axis=0)  # (U, bc)
+        xg = _gather_units(t, entry, cidx, bc)  # (U, bc)
         contrib = jnp.einsum("urc,uc->ur", t["vals"], xg,
                              preferred_element_type=dtype).astype(dtype)
         ridx = t["rows"][:, None] + jnp.arange(br, dtype=jnp.int32)[None, :]

@@ -252,6 +252,137 @@ def delta_pages_spmv(rep_meta, rep, x, nrows_part: int, ncols: int, acc):
     return acc.at[rep["rows"]].add(prods.reshape(-1), mode="drop")
 
 
+# ---------------------------------------------------------------------------
+# Generic paged gather (unit tables: horizontal runs, blocks)
+# ---------------------------------------------------------------------------
+# Same VREG-gather trick as the delta kernel, but with NO output scatter:
+# units are reordered (a table is an unordered set of units) so that
+# pageable tiles form a prefix; each tile holds g whole units (g*W <= 1024
+# elements + padding), so the kernel's (T, 8, 128) output reshapes straight
+# back to (U, W) gathered-x — feeding the existing FMA/einsum unchanged.
+
+
+def build_unit_pages(flat_cols: np.ndarray, W: int, ncols: int):
+    """Plan a paged gather for a (U, W) column-index table.
+
+    ``flat_cols``: (U*W,) the x indices unit-major (already clipped to
+    [0, ncols)).  Returns (unit_order, n_pageable_units, plan) where
+    ``plan`` is None if not applicable; units [0, n_pageable) of the
+    reordered table are gathered by the kernel, the rest via jnp.take.
+    """
+    M = flat_cols.size
+    U = M // W
+    if U * W != M or M < (1 << 13) or W > DELTA_TILE:
+        return None, 0, None
+    g = max(1, DELTA_TILE // W)  # units per tile
+    cu = flat_cols.reshape(U, W)
+    # order units by their min column so tiles cluster into few pages
+    umin = cu.min(axis=1)
+    umax = cu.max(axis=1)
+    order = np.argsort(umin, kind="stable")
+    npages = -(-ncols // PAGE)
+
+    pageable, spilled = [], []
+    for t0 in range(0, U, g):
+        t1 = min(U, t0 + g)
+        sel = order[t0:t1]
+        p_lo = int(umin[sel].min() // PAGE)
+        p_hi = int(umax[sel].max() // PAGE)
+        if p_hi - p_lo + 1 <= MAX_Q and t1 - t0 == g:
+            pageable.append((sel, p_lo))
+        else:
+            spilled.append(sel)
+    if not pageable or len(pageable) * g < U // 2:
+        return None, 0, None
+
+    T = len(pageable)
+    q = max(int(umax[sel].max() // PAGE) - plo + 1
+            for sel, plo in pageable)
+    sub = np.zeros((T, DELTA_TILE), dtype=np.int32)
+    lane = np.zeros((T, DELTA_TILE), dtype=np.int32)
+    plo_arr = np.zeros(T, dtype=np.int32)
+    unit_order = np.concatenate(
+        [np.concatenate([sel for sel, _ in pageable])]
+        + ([np.concatenate(spilled)] if spilled else []))
+    for ti, (sel, plo) in enumerate(pageable):
+        plo = min(plo, max(0, npages - q))
+        plo_arr[ti] = plo
+        off = (cu[sel].reshape(-1) - plo * PAGE).astype(np.int64)
+        n = off.size  # g * W
+        sub[ti, :n] = (off // 128).astype(np.int32)
+        lane[ti, :n] = (off % 128).astype(np.int32)
+    plan = {
+        "plo": plo_arr,
+        "sub": sub.reshape(T, 8, 128),
+        "lane": lane.reshape(T, 8, 128),
+        "T": T, "q": int(q), "g": int(g), "npages": int(npages),
+    }
+    return unit_order, T * g, plan
+
+
+@functools.lru_cache(maxsize=128)
+def _build_gather_kernel(T: int, q: int, dtype_str: str):
+    """Kernel: per tile, gather 1024 x values from the tile's q-page window
+    (pages streamed HBM->VMEM via scalar-prefetch index maps)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = jnp.dtype(dtype_str)
+
+    def kernel(plo_ref, sub_ref, lane_ref, *page_refs_and_out):
+        page_refs = page_refs_and_out[:q]
+        out_ref = page_refs_and_out[q]
+        sub = sub_ref[0]
+        lane = lane_ref[0]
+        total = jnp.zeros((8, 128), dtype=dtype)
+        for j in range(q):
+            xpage = page_refs[j][0]
+            for k in range(8):
+                rowk = jax.lax.broadcast_in_dim(xpage[k, :], (8, 128), (1,))
+                tk = jnp.take_along_axis(rowk, lane, axis=1)
+                total = total + jnp.where(sub == j * 8 + k, tk,
+                                          jnp.zeros((), dtype))
+        out_ref[0] = total
+
+    tile_specs = [pl.BlockSpec((1, 8, 128), lambda i, m: (i, 0, 0),
+                               memory_space=pltpu.VMEM) for _ in range(2)]
+    page_specs = [pl.BlockSpec(
+        (1, 8, 128), functools.partial(lambda i, m, j=j: (m[i] + j, 0, 0)),
+        memory_space=pltpu.VMEM) for j in range(q)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=tile_specs + page_specs,
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i, m: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, 8, 128), dtype),
+    )
+
+    def fn(plo, sub, lane, x2):
+        return call(plo, sub, lane, *([x2] * q))
+
+    return fn
+
+
+def paged_gather(plan_meta, plan, x, ncols: int, W: int):
+    """Gathered x for the pageable prefix: returns (T*g, W)."""
+    import jax.numpy as jnp
+
+    T, q, g, npages = plan_meta
+    npages_pad = max(npages, q)
+    x2 = jnp.zeros(npages_pad * PAGE, dtype=x.dtype).at[: ncols].set(x)
+    x2 = x2.reshape(npages_pad, 8, 128)
+    fn = _build_gather_kernel(T, q, str(np.dtype(x.dtype)))
+    out = fn(plan["plo"], plan["sub"], plan["lane"], x2)
+    return out.reshape(T, DELTA_TILE)[:, : g * W].reshape(T * g, W)
+
+
 def dia_pallas_ok() -> bool:
     """Whether the Pallas DIA kernel can run on the current backend."""
     import jax

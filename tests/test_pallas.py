@@ -100,6 +100,64 @@ def test_delta_pages_spill_tiles():
     assert rep is None or leftover.size > 0
 
 
+def test_unit_pages_plan_and_gather_interpret():
+    """Unit-page gather plan (horizontal/block x side) vs plain gather."""
+    rng = np.random.default_rng(0)
+    ncols = 8192
+    U, W = 600, 16
+    cols = rng.integers(0, ncols - W, U).astype(np.int64)
+    gidx = cols[:, None] + np.arange(W, dtype=np.int64)[None, :]
+    flat = gidx.reshape(-1)
+    order, n_pageable, plan = pk.build_unit_pages(flat, W, ncols)
+    assert plan is not None and n_pageable > 0
+    x = rng.standard_normal(ncols).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        xg = pk.paged_gather((plan["T"], plan["q"], plan["g"],
+                              plan["npages"]),
+                             {k: jnp.asarray(plan[k])
+                              for k in ("plo", "sub", "lane")},
+                             jnp.asarray(x), ncols, W)
+    want = x[gidx[order[: n_pageable]]]
+    np.testing.assert_array_equal(np.asarray(xg), want)
+
+
+def test_unit_pages_executor_interpret(monkeypatch):
+    """Executor end-to-end with unit-page plans active (interpret mode)."""
+    import sparsex_tpu.ops.exec as exec_mod
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+    from sparsex_tpu.ops.oracle import max_rel_error
+
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    monkeypatch.setattr(exec_mod, "_resolve_use_pallas",
+                        lambda tables=None: False)  # dia stays XLA
+    cfg = Config.instance()
+    cfg.set("spx.preproc.xform", "h")
+    cfg.set("spx.preproc.sampling", "none")
+    n = 4096
+    rng = np.random.default_rng(1)
+    hr = rng.integers(0, n, 600)
+    hc = rng.integers(0, n - 40, 600)
+    rows = np.repeat(hr, 20)
+    cols = (hc[:, None] + np.arange(20)[None, :]).ravel()
+    _, u = np.unique(rows * n + cols, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size)
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    assert mat.shards[0].runs
+    ex = mat.executors[0]
+    x = rng.standard_normal(n)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(ex(jnp.asarray(x)))
+    assert ex._pages_meta is not None
+    assert any(len(e) > 3 and e[3] for e in ex._pages_meta[2])
+    dense = np.zeros((n, n))
+    dense[rows, cols] = vals
+    assert max_rel_error(y, dense @ x) < 1e-6
+
+
 def test_full_executor_with_pallas_interpret():
     """End-to-end: executor with spx.tpu.use_pallas=on under the
     interpreter matches the oracle."""
