@@ -74,3 +74,73 @@ def test_shard_count_mismatch_rejected():
         pytest.skip("not enough devices")
     with pytest.raises(ValueError):
         ShardedCsx(mat, mesh=_mesh(4))
+
+
+def test_mixed_shards_some_without_dias():
+    """Union stacking when only some shards have DIA tables."""
+    import jax
+    from jax.sharding import Mesh
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+    from sparsex_tpu.ops.oracle import max_rel_error
+    from sparsex_tpu.parallel.shard import ShardedCsx
+
+    cfg = Config.instance()
+    cfg.set("spx.preproc.xform", "all")
+    cfg.set("spx.preproc.sampling", "none")
+    cfg.set("spx.rt.nr_threads", "2")
+    n = 128
+    rng = np.random.default_rng(11)
+    # top half: dense diagonal (folds to DIA); bottom half: random singles
+    rows = [np.arange(n // 2)]
+    cols = [np.arange(n // 2)]
+    rows.append(rng.integers(n // 2, n, 120))
+    cols.append(rng.integers(0, n, 120))
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    _, u = np.unique(rows * n + cols, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size)
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    has_dias = [bool(t.dias) for t in mat.shards]
+    assert True in has_dias and False in has_dias, has_dias
+    sh = ShardedCsx(mat, mesh=Mesh(np.array(jax.devices()[:2]), ("shards",)))
+    x = rng.standard_normal(n)
+    dense = np.zeros((n, n))
+    dense[rows, cols] = vals
+    assert max_rel_error(np.asarray(sh.matvec(x)), dense @ x) < 1e-10
+
+
+def test_restore_then_shard():
+    """mat_restore output feeds ShardedCsx directly."""
+    import jax
+    from jax.sharding import Mesh
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+    from sparsex_tpu.ops.oracle import max_rel_error
+    from sparsex_tpu.parallel.shard import ShardedCsx
+    from sparsex_tpu.persist import restore_csx, save_csx
+    import tempfile, os
+
+    cfg = Config.instance()
+    cfg.set("spx.preproc.xform", "all")
+    cfg.set("spx.preproc.sampling", "none")
+    cfg.set("spx.rt.nr_threads", "4")
+    n = 96
+    rng = np.random.default_rng(12)
+    rows = np.arange(n - 1)
+    cols = rows + 1
+    vals = rng.standard_normal(n - 1)
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "m.npz")
+        save_csx(mat, path)
+        mat2, _ = restore_csx(path)
+    sh = ShardedCsx(mat2, mesh=Mesh(np.array(jax.devices()[:4]),
+                                    ("shards",)))
+    x = rng.standard_normal(n)
+    dense = np.zeros((n, n))
+    dense[rows, cols] = vals
+    assert max_rel_error(np.asarray(sh.matvec(x)), dense @ x) < 1e-10
