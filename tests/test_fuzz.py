@@ -1,0 +1,99 @@
+"""Seeded fuzz: random matrices x option combinations vs the dense oracle.
+
+Mirrors the spirit of the reference driver's option sweep but with random
+structure mixes (bands, blocks, runs, singles) — the widest net for
+interaction bugs between mining, table packing, DIA folding and the
+executors.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from sparsex_tpu.config import Config
+from sparsex_tpu.csx import CsxMatrix
+from sparsex_tpu.ops.oracle import max_rel_error
+
+
+def random_structured(seed, nrows, ncols):
+    """A random mix of structure classes."""
+    rng = np.random.default_rng(seed)
+    rows, cols = [], []
+    # bands
+    for _ in range(rng.integers(0, 4)):
+        b = int(rng.integers(-nrows // 2, ncols // 2))
+        r = np.arange(max(0, -b), min(nrows, ncols - b), dtype=np.int64)
+        if r.size:
+            rows.append(r)
+            cols.append(r + b)
+    # anti-diagonal segments
+    for _ in range(rng.integers(0, 3)):
+        s = int(rng.integers(0, nrows + ncols - 2))
+        r = np.arange(max(0, s - ncols + 1), min(nrows, s + 1),
+                      dtype=np.int64)
+        if r.size > 3:
+            rows.append(r)
+            cols.append(s - r)
+    # horizontal runs
+    for _ in range(rng.integers(0, 6)):
+        r0 = int(rng.integers(0, nrows))
+        c0 = int(rng.integers(0, max(1, ncols - 20)))
+        w = int(rng.integers(4, 20))
+        rows.append(np.full(min(w, ncols - c0), r0, dtype=np.int64))
+        cols.append(np.arange(c0, min(c0 + w, ncols), dtype=np.int64))
+    # blocks
+    for _ in range(rng.integers(0, 5)):
+        br, bc = int(rng.integers(2, 5)), int(rng.integers(2, 5))
+        r0 = int(rng.integers(0, max(1, nrows - br)))
+        c0 = int(rng.integers(0, max(1, ncols - bc)))
+        rr, cc = np.meshgrid(np.arange(br), np.arange(bc), indexing="ij")
+        rows.append((r0 + rr).ravel())
+        cols.append((c0 + cc).ravel())
+    # singles
+    m = int(rng.integers(5, nrows))
+    rows.append(rng.integers(0, nrows, m))
+    cols.append(rng.integers(0, ncols, m))
+
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    _, u = np.unique(rows * ncols + cols, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size) + 0.5
+    return rows, cols, vals
+
+
+CASES = list(itertools.product(
+    range(6),                                   # seeds
+    ["all", "h,v", "d,ad,br2,bc3", "none"],     # xform
+    [1, 3],                                     # shards
+))
+
+
+@pytest.mark.parametrize("seed,xform,nshards", CASES,
+                         ids=[f"s{s}-{x}-p{p}" for s, x, p in CASES])
+def test_fuzz_vs_oracle(seed, xform, nshards):
+    cfg = Config.instance()
+    cfg.set("spx.preproc.xform", xform)
+    cfg.set("spx.preproc.sampling", "none" if seed % 2 else "portion")
+    cfg.set("spx.rt.nr_threads", str(nshards))
+    cfg.set("spx.matrix.min_coverage", "0.0")
+    nrows, ncols = 150 + 17 * seed, 140 + 23 * seed
+    rows, cols, vals = random_structured(seed, nrows, ncols)
+    mat = CsxMatrix.from_coo(nrows, ncols, rows, cols, vals)
+    rng = np.random.default_rng(seed + 1000)
+    x = rng.standard_normal(ncols)
+    y0 = rng.standard_normal(nrows)
+    y = np.asarray(mat.matvec(x, alpha=1.3, beta=-0.4, y=y0))
+    dense = np.zeros((nrows, ncols))
+    dense[rows, cols] = vals
+    want = 1.3 * dense @ x - 0.4 * y0
+    err = max_rel_error(y, want)
+    assert err < 1e-9, (seed, xform, nshards, err)
+    # round-trip through tocoo must reproduce the matrix exactly
+    rr, cc, vv = mat.tocoo()
+    d2 = np.zeros((nrows, ncols))
+    d2[rr, cc] = vv
+    np.testing.assert_allclose(d2, dense, atol=1e-12)
