@@ -24,7 +24,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "kernels.cpp")
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 # Versioned filename: dlopen caches by path and never unmaps, so rebuilding
 # over a loaded .so would hand back the stale mapping (or SIGBUS).  A new
 # ABI gets a new path; old files just linger.
@@ -86,6 +86,12 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.spx_pad_units_f64.restype = None
     lib.spx_pad_units_f64.argtypes = [f64p, i64p, i64p, ctypes.c_longlong,
                                       ctypes.c_longlong, f64p, ctypes.c_int]
+    lib.spx_select_units.restype = ctypes.c_longlong
+    lib.spx_select_units.argtypes = [i64p, i64p, i64p, u8p,
+                                     ctypes.c_longlong, ctypes.c_longlong,
+                                     ctypes.c_longlong, ctypes.c_longlong,
+                                     i64p, ctypes.c_longlong,
+                                     i64p, i64p, i64p, u8p]
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -301,3 +307,36 @@ def pad_units(vals: np.ndarray, heads: np.ndarray, sizes: np.ndarray,
        _ptr(sizes, ctypes.c_longlong), heads.size, width,
        _ptr(out, ct), min(16, os.cpu_count() or 1))
     return out
+
+
+def select_units(j0, f, delta, adjacent, m, min_limit, max_limit,
+                 allowed_deltas=None):
+    """Run->unit selection (absorb rule, unit splitting, coverage) in one
+    native pass.  Returns (heads, sizes, udelta, covered) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nruns = j0.size
+    j0 = np.ascontiguousarray(j0, dtype=np.int64)
+    f = np.ascontiguousarray(f, dtype=np.int64)
+    delta = np.ascontiguousarray(delta, dtype=np.int64)
+    adjacent = np.ascontiguousarray(adjacent, dtype=np.uint8)
+    cap = nruns + m // max(1, max_limit) + 2
+    heads = np.empty(cap, dtype=np.int64)
+    sizes = np.empty(cap, dtype=np.int64)
+    udelta = np.empty(cap, dtype=np.int64)
+    covered = np.empty(m, dtype=np.uint8)
+    if allowed_deltas is not None:
+        allowed = np.ascontiguousarray(np.sort(np.asarray(
+            allowed_deltas, dtype=np.int64)))
+        ap, na = _ptr(allowed, ctypes.c_longlong), allowed.size
+    else:
+        allowed, ap, na = None, None, 0
+    nu = lib.spx_select_units(
+        _ptr(j0, ctypes.c_longlong), _ptr(f, ctypes.c_longlong),
+        _ptr(delta, ctypes.c_longlong), _ptr(adjacent, ctypes.c_ubyte),
+        nruns, m, min_limit, max_limit, ap, na,
+        _ptr(heads, ctypes.c_longlong), _ptr(sizes, ctypes.c_longlong),
+        _ptr(udelta, ctypes.c_longlong), _ptr(covered, ctypes.c_ubyte))
+    nu = int(nu)
+    return heads[:nu], sizes[:nu], udelta[:nu], covered.view(bool)

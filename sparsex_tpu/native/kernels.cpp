@@ -390,6 +390,88 @@ void spx_pad_units_f64(const double *vals, const long long *heads,
   for (auto &th : threads) th.join();
 }
 
-int spx_native_abi_version() { return 3; }
+// ---------------------------------------------------------------------------
+// Run -> pattern-unit selection (the second half of the mining hot loop)
+// ---------------------------------------------------------------------------
+// Consumes spx_segment_runs output and applies the selection rules of the
+// reference miner (EncodingManager.hpp:1321-1408): eligibility by delta,
+// the absorb-previous-element rule (resolved sequentially: a run of
+// f == min_limit-1 deltas becomes a pattern only when it can claim its
+// anchor, i.e. the adjacent previous run is not itself a pattern), and
+// splitting long runs into units of <= max_limit elements with
+// sub-min_limit remainders returned to singles.  Emits unit heads/sizes/
+// deltas and the element coverage mask in one pass.
+long long spx_select_units(const long long *j0, const long long *f,
+                           const long long *delta,
+                           const unsigned char *adjacent, long long nruns,
+                           long long m, long long min_limit,
+                           long long max_limit,
+                           const long long *allowed, long long n_allowed,
+                           long long *heads, long long *sizes,
+                           long long *udelta, unsigned char *covered) {
+  std::memset(covered, 0, (size_t)m);
+  long long nu = 0;
+  bool prev_pattern = false;
+  long long cert_min = min_limit > 2 ? min_limit : 2;
+  for (long long k = 0; k < nruns; ++k) {
+    bool eligible = delta[k] > 0;
+    if (eligible && allowed != nullptr) {
+      // allowed is sorted; binary search
+      long long lo = 0, hi = n_allowed;
+      while (lo < hi) {
+        long long mid = (lo + hi) / 2;
+        if (allowed[mid] < delta[k]) lo = mid + 1; else hi = mid;
+      }
+      eligible = lo < n_allowed && allowed[lo] == delta[k];
+    }
+    bool adj = adjacent[k] != 0;
+    bool pattern;
+    if (eligible && f[k] >= cert_min) {
+      pattern = true;
+    } else if (eligible && f[k] == min_limit - 1 && f[k] >= 2) {
+      pattern = !(adj && prev_pattern);
+    } else {
+      pattern = false;
+    }
+    if (!pattern) {
+      prev_pattern = false;
+      continue;
+    }
+    bool absorbed = !(adj && prev_pattern);
+    long long start = j0[k] + 1 - (absorbed ? 1 : 0);
+    long long count = f[k] + (absorbed ? 1 : 0);
+    long long nfull = count / max_limit;
+    long long rem = count % max_limit;
+    long long covered_count = nfull * max_limit
+        + (rem >= min_limit ? rem : 0);
+    long long pos = start;
+    for (long long u = 0; u < nfull; ++u) {
+      heads[nu] = pos;
+      sizes[nu] = max_limit;
+      udelta[nu] = delta[k];
+      ++nu;
+      pos += max_limit;
+    }
+    if (rem >= min_limit) {
+      heads[nu] = pos;
+      sizes[nu] = rem;
+      udelta[nu] = delta[k];
+      ++nu;
+    }
+    if (covered_count > 0) {
+      long long e0 = start, e1 = start + covered_count;
+      if (e0 < 0) e0 = 0;
+      if (e1 > m) e1 = m;
+      for (long long i = e0; i < e1; ++i) covered[i] = 1;
+      prev_pattern = true;
+    } else {
+      // nothing actually encoded (run shorter than a unit): not a pattern
+      prev_pattern = false;
+    }
+  }
+  return nu;
+}
+
+int spx_native_abi_version() { return 4; }
 
 }  // extern "C"

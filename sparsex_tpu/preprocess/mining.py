@@ -224,6 +224,19 @@ def mine_runs(trows: np.ndarray, tcols: np.ndarray, *,
     j0, f, delta, adjacent = _segment_runs(tr, tc)
     if j0.size == 0:
         return res
+
+    from sparsex_tpu import native
+    sel_native = native.select_units(j0, f, delta, adjacent, m,
+                                     min_limit, max_limit, allowed_deltas)
+    if sel_native is not None:
+        heads, sizes, udelta, cov = sel_native
+        covered[:] = cov
+        for dv in np.unique(udelta):
+            mask = udelta == dv
+            res.runs.append(RunUnits(delta=int(dv), heads=heads[mask],
+                                     sizes=sizes[mask]))
+        return res
+
     if allowed_deltas is not None:
         eligible = np.isin(delta, np.asarray(allowed_deltas))
     else:

@@ -137,3 +137,37 @@ def test_mmf_loader_uses_native(tmp_path):
     np.testing.assert_array_equal(a.rows, b.rows)
     np.testing.assert_array_equal(a.cols, b.cols)
     np.testing.assert_array_equal(a.vals, b.vals)
+
+
+@pytest.mark.parametrize("seed,minl,maxl,allowed", [
+    (0, 4, 255, None), (1, 4, 16, None), (2, 3, 255, [1, 2]),
+    (3, 2, 8, None), (4, 5, 255, [1]),
+])
+def test_select_units_matches_numpy(seed, minl, maxl, allowed, monkeypatch):
+    """Native run->unit selection vs the vectorized NumPy path."""
+    from sparsex_tpu.preprocess import mining
+
+    rng = np.random.default_rng(seed)
+    n = 3000
+    rows = np.sort(rng.integers(0, 60, n)).astype(np.int64)
+    cols = rng.integers(0, 300, n).astype(np.int64)
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    keep = np.concatenate([[True], np.diff(rows * 300 + cols) != 0])
+    rows, cols = rows[keep], cols[keep]
+
+    res_nat = mining.mine_runs(rows, cols, min_limit=minl, max_limit=maxl,
+                               allowed_deltas=allowed, presorted=True)
+
+    monkeypatch.setattr(native, "select_units", lambda *a, **k: None)
+    res_np = mining.mine_runs(rows, cols, min_limit=minl, max_limit=maxl,
+                              allowed_deltas=allowed, presorted=True)
+
+    np.testing.assert_array_equal(res_nat.covered, res_np.covered)
+    key = lambda r: r.delta
+    for a, b in zip(sorted(res_nat.runs, key=key),
+                    sorted(res_np.runs, key=key)):
+        assert a.delta == b.delta
+        np.testing.assert_array_equal(a.heads, b.heads)
+        np.testing.assert_array_equal(a.sizes, b.sizes)
+    assert len(res_nat.runs) == len(res_np.runs)
