@@ -209,11 +209,27 @@ def matvec_kernel(alpha: float, mat: Matrix, x, beta: float, y):
 _csr_cache = {}
 
 
+def _csr_fingerprint(rowptr, colind, nrows, ncols):
+    """Content fingerprint for the lazy-tune cache.
+
+    The reference keys on the caller's buffer identity (C callers keep the
+    buffers alive); Python ``id()`` values get recycled after GC, which
+    could alias a freed matrix — so sample the structure instead.
+    """
+    rp = np.asarray(rowptr)
+    ci = np.asarray(colind)
+    step_rp = max(1, rp.size // 16)
+    step_ci = max(1, ci.size // 16)
+    return (nrows, ncols, ci.size,
+            rp[::step_rp].tobytes(), ci[::step_ci].tobytes())
+
+
 def matvec_kernel_csr(rowptr, colind, values, nrows, ncols,
                       alpha: float, x, beta: float, y):
     """``spx_matvec_kernel_csr`` parity (ref ``src/api/matvec.c:622``):
-    tunes lazily on first call for the given CSR buffers, then delegates."""
-    key = (id(rowptr), id(colind), nrows, ncols)
+    tunes lazily on first call for the given CSR structure, then delegates.
+    Values are re-read only at tune time (like the reference)."""
+    key = _csr_fingerprint(rowptr, colind, nrows, ncols)
     mat = _csr_cache.get(key)
     if mat is None:
         inp = input_load_csr(rowptr, colind, values, nrows, ncols)
