@@ -281,12 +281,18 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
             z = z2
 
     # --- page-bucketed delta (Pallas x-gather + XLA scatter) ---
-    dpages_meta = meta[5] if len(meta) > 5 else None
-    if dpages_meta is not None and "delta_pages" in arrs:
+    # meta[5:] holds tagged extras: ("dpages", T, q, npages) for the direct
+    # contribution, ("dpagesT", T, q, npages) for the symmetric transposed
+    # one (gathers x at the sorted owned rows, scatters into z by column).
+    extras = {e[0]: e[1:] for e in meta[5:] if e}
+    if "dpages" in extras and "delta_pages" in arrs:
         from sparsex_tpu.ops.pallas_kernels import delta_pages_spmv
-        _tag, T, q, npages = dpages_meta
-        acc = delta_pages_spmv((T, q, npages), arrs["delta_pages"], x,
+        acc = delta_pages_spmv(extras["dpages"], arrs["delta_pages"], x,
                                nrows_part, ncols, acc)
+    if symmetric and "dpagesT" in extras and "delta_pages_t" in arrs:
+        from sparsex_tpu.ops.pallas_kernels import delta_pages_spmv
+        z = delta_pages_spmv(extras["dpagesT"], arrs["delta_pages_t"], x,
+                             nrows_glob, nrows_glob, z)
 
     # --- delta singles: gather + sorted segment-sum ---
     d = arrs["delta"]
@@ -295,9 +301,14 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
         acc = acc + jax.ops.segment_sum(
             prod, d["row_ids"], num_segments=nrows_part,
             indices_are_sorted=True)
-        if symmetric:
-            xg = jnp.take(x, d["row_ids"] + row_start, mode="clip")
-            z = z.at[d["cols"]].add(d["vals"] * xg, mode="drop")
+    dt = arrs.get("delta_t")
+    if symmetric and dt is not None and dt["cols"].shape[0]:
+        # transposed leftovers: z[c] += v * x[r_glob]
+        xg = jnp.take(x, dt["row_ids"] + row_start, mode="clip")
+        z = z.at[dt["cols"]].add(dt["vals"] * xg, mode="drop")
+    elif symmetric and dt is None and d is not None and d["cols"].shape[0]:
+        xg = jnp.take(x, d["row_ids"] + row_start, mode="clip")
+        z = z.at[d["cols"]].add(d["vals"] * xg, mode="drop")
 
     def _gather_units(t, entry, gidx, width):
         """(U, width) x values: paged-gather prefix + jnp.take tail."""

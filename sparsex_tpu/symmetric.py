@@ -75,6 +75,53 @@ class SymCsxMatrix(CsxMatrix):
                          **kw)
         self.dvalues: List[np.ndarray] = []
 
+    def _build_sym_arrays(self) -> None:
+        """Per-shard array pytrees + (on TPU) page-bucketed delta layouts
+        for BOTH contributions: direct pages gather x by column, transposed
+        pages gather x at the shard's (sorted) rows and scatter into z by
+        column.  Both sides page or neither (the plain delta dict feeds the
+        fallback z path only when no transposed pages exist)."""
+        self._sym_arrays = []
+        self._sym_metas = []
+        from sparsex_tpu.ops.exec import _pallas_mode
+        from sparsex_tpu.ops.pallas_kernels import (build_delta_pages,
+                                                    dia_pallas_ok)
+        use_pages = _pallas_mode() is not False and dia_pallas_ok()
+        for tables in self.shards:
+            arrs = tables_to_arrays(tables)
+            meta = static_meta(tables)
+            d = tables.delta
+            if use_pages and d is not None and d.nnz:
+                cols = np.asarray(d.cols, dtype=np.int64)
+                rows = np.asarray(d.row_ids, dtype=np.int64)
+                vals = np.asarray(d.vals)
+                r0 = tables.row_start
+                rep_d, left_d = build_delta_pages(
+                    cols, rows, vals, self.ncols, tables.nrows)
+                rep_t, left_t = build_delta_pages(
+                    rows + r0, cols, vals, self.nrows, self.nrows)
+                if rep_d is not None and rep_t is not None:
+                    qd, npd = rep_d.pop("q"), rep_d.pop("npages")
+                    qt, npt = rep_t.pop("q"), rep_t.pop("npages")
+                    arrs["delta_pages"] = rep_d
+                    arrs["delta_pages_t"] = rep_t
+                    ld = np.sort(left_d) if left_d.size else left_d
+                    arrs["delta"] = ({"row_ids": d.row_ids[ld],
+                                      "cols": d.cols[ld],
+                                      "vals": d.vals[ld]}
+                                     if left_d.size else None)
+                    arrs["delta_t"] = ({"row_ids": d.row_ids[left_t],
+                                        "cols": d.cols[left_t],
+                                        "vals": d.vals[left_t]}
+                                       if left_t.size else
+                                       {"row_ids": d.row_ids[:0],
+                                        "cols": d.cols[:0],
+                                        "vals": d.vals[:0]})
+                    meta = meta + (("dpages", rep_d["plo"].size, qd, npd),
+                                   ("dpagesT", rep_t["plo"].size, qt, npt))
+            self._sym_arrays.append(arrs)
+            self._sym_metas.append(meta)
+
     def matvec(self, x, alpha=1.0, beta=0.0, y=None):
         import jax.numpy as jnp
         x = jnp.asarray(x)
@@ -84,13 +131,11 @@ class SymCsxMatrix(CsxMatrix):
         y_parts = []
         z_total = jnp.zeros(self.nrows, dtype=x.dtype)
         if not hasattr(self, "_sym_arrays"):
-            # own array pytrees: the single-chip executor may reorganize its
-            # copies (page-bucketed delta) which the symmetric trace does
-            # not consume
-            self._sym_arrays = [tables_to_arrays(t) for t in self.shards]
-        for tables, dvals, arrs in zip(self.shards, self.dvalues,
-                                       self._sym_arrays):
-            fn = _compiled_sym(static_meta(tables), tables.row_start)
+            self._build_sym_arrays()
+        for tables, dvals, arrs, meta in zip(self.shards, self.dvalues,
+                                             self._sym_arrays,
+                                             self._sym_metas):
+            fn = _compiled_sym(meta, tables.row_start)
             y_own, z = fn(arrs, jnp.asarray(dvals, dtype=x.dtype), x,
                           x.dtype.type(alpha))
             y_parts.append(y_own)
@@ -125,7 +170,7 @@ class SymCsxMatrix(CsxMatrix):
             return
         super().set_entry(row, col, value)
         if hasattr(self, "_sym_arrays"):
-            del self._sym_arrays  # rebuilt from the mutated tables
+            del self._sym_arrays, self._sym_metas  # rebuilt after mutation
 
     def tocoo(self):
         """Expand to full (mirrored) COO."""
