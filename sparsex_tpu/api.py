@@ -209,30 +209,20 @@ def matvec_kernel(alpha: float, mat: Matrix, x, beta: float, y):
 _csr_cache = {}
 
 
-def _csr_fingerprint(rowptr, colind, nrows, ncols):
-    """Content fingerprint for the lazy-tune cache.
-
-    The reference keys on the caller's buffer identity (C callers keep the
-    buffers alive); Python ``id()`` values get recycled after GC, which
-    could alias a freed matrix — so sample the structure instead.
-    """
-    rp = np.asarray(rowptr)
-    ci = np.asarray(colind)
-    step_rp = max(1, rp.size // 16)
-    step_ci = max(1, ci.size // 16)
-    return (nrows, ncols, ci.size,
-            rp[::step_rp].tobytes(), ci[::step_ci].tobytes())
-
-
 def matvec_kernel_csr(rowptr, colind, values, nrows, ncols,
                       alpha: float, x, beta: float, y):
     """``spx_matvec_kernel_csr`` parity (ref ``src/api/matvec.c:622``):
-    tunes lazily on first call for the given CSR structure, then delegates.
-    Values are re-read only at tune time (like the reference)."""
-    key = _csr_fingerprint(rowptr, colind, nrows, ncols)
-    mat = _csr_cache.get(key)
-    if mat is None:
+    tunes lazily on first call for the given CSR buffers, then delegates.
+
+    The cache keys on buffer identity like the reference (whose C callers
+    keep the buffers alive); to make that safe in Python — where ``id()``
+    values are recycled after GC — the cache entry holds strong references
+    to the keyed buffers, so a cached id can never alias a freed matrix.
+    """
+    key = (id(rowptr), id(colind), id(values), nrows, ncols)
+    entry = _csr_cache.get(key)
+    if entry is None:
         inp = input_load_csr(rowptr, colind, values, nrows, ncols)
-        mat = mat_tune(inp)
-        _csr_cache[key] = mat
-    return matvec_kernel(alpha, mat, x, beta, y)
+        entry = (mat_tune(inp), rowptr, colind, values)
+        _csr_cache[key] = entry
+    return matvec_kernel(alpha, entry[0], x, beta, y)

@@ -284,15 +284,28 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
     # meta[5:] holds tagged extras: ("dpages", T, q, npages) for the direct
     # contribution, ("dpagesT", T, q, npages) for the symmetric transposed
     # one (gathers x at the sorted owned rows, scatters into z by column).
+    # One padded x2 page-form is shared by every paged consumer (each copy
+    # is a full pass over an ncols-sized buffer).
     extras = {e[0]: e[1:] for e in meta[5:] if e}
+    page_sigs = [extras[k] for k in ("dpages", "dpagesT") if k in extras]
+    page_sigs += [e[3] for e in run_meta if len(e) > 3 and e[3]]
+    page_sigs += [e[3] for e in block_meta if len(e) > 3 and e[3]]
+    x2 = None
+    if page_sigs:
+        from sparsex_tpu.ops.pallas_kernels import pad_x_pages
+        # both sig shapes carry q at index 1 and npages last:
+        # (T, q, npages) and (T, q, g, npages)
+        q_max = max(s[1] for s in page_sigs)
+        np_max = max(s[-1] for s in page_sigs)
+        x2 = pad_x_pages(x, ncols, q_max, np_max)
     if "dpages" in extras and "delta_pages" in arrs:
         from sparsex_tpu.ops.pallas_kernels import delta_pages_spmv
         acc = delta_pages_spmv(extras["dpages"], arrs["delta_pages"], x,
-                               nrows_part, ncols, acc)
+                               nrows_part, ncols, acc, x2=x2)
     if symmetric and "dpagesT" in extras and "delta_pages_t" in arrs:
         from sparsex_tpu.ops.pallas_kernels import delta_pages_spmv
         z = delta_pages_spmv(extras["dpagesT"], arrs["delta_pages_t"], x,
-                             nrows_glob, nrows_glob, z)
+                             nrows_glob, nrows_glob, z, x2=x2)
 
     # --- delta singles: gather + sorted segment-sum ---
     d = arrs["delta"]
@@ -319,7 +332,7 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
         from sparsex_tpu.ops.pallas_kernels import paged_gather
         T, q, g, npages = plan_sig
         xg_page = paged_gather(plan_sig, t["plan"], x, ncols,
-                               width).astype(x.dtype)
+                               width, x2=x2).astype(x.dtype)
         n_page = T * g
         if gidx.shape[0] > n_page:
             tail = jnp.take(x, clipped[n_page:], axis=0)

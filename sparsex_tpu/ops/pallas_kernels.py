@@ -115,6 +115,7 @@ def _build_dia_kernel(offsets: Tuple[int, ...], nrows_pad: int,
 PAGE = 1024           # x elements per page = one f32 VREG tile
 DELTA_TILE = 1024     # elements per kernel tile = (8, 128)
 MAX_Q = 8             # max contiguous pages one tile may span
+MIN_PAGE_NNZ = 1 << 14  # below this the XLA gather is cheaper than a plan
 # (x pages are streamed HBM->VMEM by the pipeline; ncols is unbounded)
 
 
@@ -127,7 +128,7 @@ def build_delta_pages(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
     would span more than MAX_Q pages (they stay on the XLA path).
     """
     m = cols.size
-    if m < (1 << 14):
+    if m < MIN_PAGE_NNZ:
         return None, None
     order = np.argsort(cols, kind="stable")
     csort = cols[order].astype(np.int64)
@@ -183,7 +184,7 @@ def build_delta_pages(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
 
 
 @functools.lru_cache(maxsize=64)
-def _build_delta_kernel(T: int, q: int, npages: int, dtype_str: str):
+def _build_delta_kernel(T: int, q: int, dtype_str: str):
     """Kernel: per tile, gather 1024 x values from the tile's q-page window
     and multiply by the element values -> products tile.
 
@@ -239,15 +240,26 @@ def _build_delta_kernel(T: int, q: int, npages: int, dtype_str: str):
     return fn
 
 
-def delta_pages_spmv(rep_meta, rep, x, nrows_part: int, ncols: int, acc):
-    """acc += scatter(products) for the page-bucketed delta elements."""
-    import jax.numpy as jnp
+def pad_x_pages(x, ncols: int, q: int, npages: int):
+    """x zero-padded + reshaped to (npages_pad, 8, 128) page form.
 
-    T, q, npages = rep_meta
-    npages_pad = max(npages, q)  # q-page windows must fit
+    Callers with several paged tables should build this ONCE with the max
+    q/npages across their plans and pass it to every helper — each copy is
+    a full pass over an ncols-sized buffer.
+    """
+    import jax.numpy as jnp
+    npages_pad = max(npages, q)
     x2 = jnp.zeros(npages_pad * PAGE, dtype=x.dtype).at[: ncols].set(x)
-    x2 = x2.reshape(npages_pad, 8, 128)
-    fn = _build_delta_kernel(T, q, npages_pad, str(np.dtype(x.dtype)))
+    return x2.reshape(npages_pad, 8, 128)
+
+
+def delta_pages_spmv(rep_meta, rep, x, nrows_part: int, ncols: int, acc,
+                     x2=None):
+    """acc += scatter(products) for the page-bucketed delta elements."""
+    T, q, npages = rep_meta
+    if x2 is None:
+        x2 = pad_x_pages(x, ncols, q, npages)
+    fn = _build_delta_kernel(T, q, str(np.dtype(x.dtype)))
     prods = fn(rep["plo"], rep["sub"], rep["lane"], rep["vals"], x2)
     return acc.at[rep["rows"]].add(prods.reshape(-1), mode="drop")
 
@@ -370,14 +382,11 @@ def _build_gather_kernel(T: int, q: int, dtype_str: str):
     return fn
 
 
-def paged_gather(plan_meta, plan, x, ncols: int, W: int):
+def paged_gather(plan_meta, plan, x, ncols: int, W: int, x2=None):
     """Gathered x for the pageable prefix: returns (T*g, W)."""
-    import jax.numpy as jnp
-
     T, q, g, npages = plan_meta
-    npages_pad = max(npages, q)
-    x2 = jnp.zeros(npages_pad * PAGE, dtype=x.dtype).at[: ncols].set(x)
-    x2 = x2.reshape(npages_pad, 8, 128)
+    if x2 is None:
+        x2 = pad_x_pages(x, ncols, q, npages)
     fn = _build_gather_kernel(T, q, str(np.dtype(x.dtype)))
     out = fn(plan["plo"], plan["sub"], plan["lane"], x2)
     return out.reshape(T, DELTA_TILE)[:, : g * W].reshape(T * g, W)

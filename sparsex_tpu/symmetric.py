@@ -76,22 +76,21 @@ class SymCsxMatrix(CsxMatrix):
         self.dvalues: List[np.ndarray] = []
 
     def _build_sym_arrays(self) -> None:
-        """Per-shard array pytrees + (on TPU) page-bucketed delta layouts
-        for BOTH contributions: direct pages gather x by column, transposed
-        pages gather x at the shard's (sorted) rows and scatter into z by
-        column.  Both sides page or neither (the plain delta dict feeds the
-        fallback z path only when no transposed pages exist)."""
-        self._sym_arrays = []
-        self._sym_metas = []
-        from sparsex_tpu.ops.exec import _pallas_mode
-        from sparsex_tpu.ops.pallas_kernels import (build_delta_pages,
-                                                    dia_pallas_ok)
-        use_pages = _pallas_mode() is not False and dia_pallas_ok()
-        for tables in self.shards:
-            arrs = tables_to_arrays(tables)
-            meta = static_meta(tables)
+        """Per-shard (meta, arrays) variants: ``_sym_plain`` always, and
+        ``_sym_paged`` with page-bucketed delta layouts for BOTH
+        contributions — direct pages gather x by column, transposed pages
+        gather x at the shard's (sorted) rows and scatter into z by column.
+        Both sides page or neither; matvec picks a variant per call so
+        ``spx.tpu.use_pallas`` takes effect immediately."""
+        self._sym_plain = [(static_meta(t), tables_to_arrays(t))
+                           for t in self.shards]
+        self._sym_paged = []
+        from sparsex_tpu.ops.pallas_kernels import build_delta_pages
+        for tables, (pmeta, parrs) in zip(self.shards, self._sym_plain):
+            arrs = dict(parrs)
+            meta = pmeta
             d = tables.delta
-            if use_pages and d is not None and d.nnz:
+            if d is not None and d.nnz:
                 cols = np.asarray(d.cols, dtype=np.int64)
                 rows = np.asarray(d.row_ids, dtype=np.int64)
                 vals = np.asarray(d.vals)
@@ -119,8 +118,7 @@ class SymCsxMatrix(CsxMatrix):
                                         "vals": d.vals[:0]})
                     meta = meta + (("dpages", rep_d["plo"].size, qd, npd),
                                    ("dpagesT", rep_t["plo"].size, qt, npt))
-            self._sym_arrays.append(arrs)
-            self._sym_metas.append(meta)
+            self._sym_paged.append((meta, arrs))
 
     def matvec(self, x, alpha=1.0, beta=0.0, y=None):
         import jax.numpy as jnp
@@ -130,11 +128,15 @@ class SymCsxMatrix(CsxMatrix):
                      f"x has {x.shape[0]} entries, expected {self.ncols}")
         y_parts = []
         z_total = jnp.zeros(self.nrows, dtype=x.dtype)
-        if not hasattr(self, "_sym_arrays"):
+        if not hasattr(self, "_sym_plain"):
             self._build_sym_arrays()
-        for tables, dvals, arrs, meta in zip(self.shards, self.dvalues,
-                                             self._sym_arrays,
-                                             self._sym_metas):
+        # per-call choice so spx.tpu.use_pallas takes effect immediately
+        from sparsex_tpu.ops.exec import _pallas_mode
+        from sparsex_tpu.ops.pallas_kernels import dia_pallas_ok
+        use_pages = _pallas_mode() is not False and dia_pallas_ok()
+        variants = self._sym_paged if use_pages else self._sym_plain
+        for tables, dvals, (meta, arrs) in zip(self.shards, self.dvalues,
+                                               variants):
             fn = _compiled_sym(meta, tables.row_start)
             y_own, z = fn(arrs, jnp.asarray(dvals, dtype=x.dtype), x,
                           x.dtype.type(alpha))
@@ -169,8 +171,8 @@ class SymCsxMatrix(CsxMatrix):
             self.dvalues[si][row - self.shards[si].row_start] = value
             return
         super().set_entry(row, col, value)
-        if hasattr(self, "_sym_arrays"):
-            del self._sym_arrays, self._sym_metas  # rebuilt after mutation
+        if hasattr(self, "_sym_plain"):
+            del self._sym_plain, self._sym_paged  # rebuilt after mutation
 
     def tocoo(self):
         """Expand to full (mirrored) COO."""

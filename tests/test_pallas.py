@@ -158,6 +158,48 @@ def test_unit_pages_executor_interpret(monkeypatch):
     assert max_rel_error(y, dense @ x) < 1e-6
 
 
+def test_symmetric_paged_delta_interpret(monkeypatch):
+    """Symmetric direct+transposed paged delta vs the mirrored oracle, and
+    use_pallas=off immediately switches back to the plain variant."""
+    import sparsex_tpu.ops.pallas_kernels as pk_mod
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.ops.oracle import max_rel_error
+    from sparsex_tpu.symmetric import build_symmetric_csx
+
+    monkeypatch.setattr(pk_mod, "MIN_PAGE_NNZ", 64)
+    monkeypatch.setattr(pk_mod, "dia_pallas_ok", lambda: True)
+    cfg = Config.instance()
+    cfg.set("spx.preproc.xform", "none")
+    n = 2048
+    rng = np.random.default_rng(0)
+    r = rng.integers(0, n, 3000)
+    c = rng.integers(0, n, 3000)
+    keep = r > c
+    rows = np.concatenate([r[keep], np.arange(n)])
+    cols = np.concatenate([c[keep], np.arange(n)])
+    _, u = np.unique(rows * n + cols, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size)
+    mat = build_symmetric_csx(n, n, rows, cols, vals, already_lower=True)
+    x = rng.standard_normal(n)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(mat.matvec(x))
+    assert any(len(m) > 5 for m, _ in mat._sym_paged), "pages not built"
+    off = rows != cols
+    fr = np.concatenate([rows, cols[off]])
+    fc = np.concatenate([cols, rows[off]])
+    fv = np.concatenate([vals, vals[off]])
+    dense = np.zeros((n, n))
+    dense[fr, fc] = fv
+    assert max_rel_error(y, dense @ x) < 1e-9
+    # per-call gating: off must route through the plain variant immediately
+    cfg.set("spx.tpu.use_pallas", "off")
+    y2 = np.asarray(mat.matvec(x))
+    assert max_rel_error(y2, dense @ x) < 1e-9
+
+
 def test_full_executor_with_pallas_interpret():
     """End-to-end: executor with spx.tpu.use_pallas=on under the
     interpreter matches the oracle."""
