@@ -120,12 +120,17 @@ MIN_PAGE_NNZ = 1 << 14  # below this the XLA gather is cheaper than a plan
 
 
 def build_delta_pages(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
-                      ncols: int, nrows_part: int):
+                      ncols: int, nrows_part: int, q_force: int = 0,
+                      t_force: int = 0):
     """Host-side layout for the page-bucketed delta kernel.
 
     Returns (pages_rep, leftover_idx) where ``pages_rep`` is None when the
     layout isn't applicable; ``leftover_idx`` indexes elements whose tile
     would span more than MAX_Q pages (they stay on the XLA path).
+
+    ``q_force``/``t_force`` pad the window width / tile count up to a given
+    value (>= the computed ones) — the sharded executor uses this to give
+    every shard the same static kernel signature.
     """
     m = cols.size
     if m < MIN_PAGE_NNZ:
@@ -152,12 +157,15 @@ def build_delta_pages(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
     T = len(keep_tiles)
     q = max(min(int(csort[t1 - 1] // PAGE) - plo + 1, MAX_Q)
             for t0, t1, plo in keep_tiles)
-    # clamp p_lo so the Q-page window stays inside x2
-    plo_arr = np.zeros(T, dtype=np.int32)
-    sub = np.zeros((T, DELTA_TILE), dtype=np.int32)
-    lane = np.zeros((T, DELTA_TILE), dtype=np.int32)
-    v = np.zeros((T, DELTA_TILE), dtype=vals.dtype)
-    r = np.full((T, DELTA_TILE), nrows_part, dtype=np.int32)  # pad -> drop
+    q = max(q, q_force)
+    # clamp p_lo so the Q-page window stays inside x2; t_force pads with
+    # all-zero dummy tiles (vals 0, rows = sentinel -> dropped)
+    T_out = max(T, t_force)
+    plo_arr = np.zeros(T_out, dtype=np.int32)
+    sub = np.zeros((T_out, DELTA_TILE), dtype=np.int32)
+    lane = np.zeros((T_out, DELTA_TILE), dtype=np.int32)
+    v = np.zeros((T_out, DELTA_TILE), dtype=vals.dtype)
+    r = np.full((T_out, DELTA_TILE), nrows_part, dtype=np.int32)
     for ti, (t0, t1, plo) in enumerate(keep_tiles):
         plo = min(plo, max(0, npages - q))
         plo_arr[ti] = plo
@@ -171,10 +179,10 @@ def build_delta_pages(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
         r[ti, :n] = rows[sel]
     rep = {
         "plo": plo_arr,
-        "sub": sub.reshape(T, 8, 128),
-        "lane": lane.reshape(T, 8, 128),
-        "vals": v.reshape(T, 8, 128),
-        "rows": r.reshape(T * DELTA_TILE),
+        "sub": sub.reshape(T_out, 8, 128),
+        "lane": lane.reshape(T_out, 8, 128),
+        "vals": v.reshape(T_out, 8, 128),
+        "rows": r.reshape(T_out * DELTA_TILE),
         "q": int(q),
         "npages": int(npages),
     }

@@ -171,8 +171,12 @@ def _local_spmv(meta, tbl, x, axis_name=None, symmetric=False,
 
     kmeta = (meta["max_rows"], meta["ncols"], meta["run_keys"],
              meta["block_keys"], meta["dia_keys"])
+    if meta.get("dpages"):
+        kmeta = kmeta + (meta["dpages"],)
     arrs = {"delta": tbl["delta"], "runs": tbl["runs"],
             "blocks": tbl["blocks"], "dias": tbl["dias"]}
+    if "delta_pages" in tbl:
+        arrs["delta_pages"] = tbl["delta_pages"]
     return local_contrib(
         kmeta, arrs, x, nrows_part=meta["max_rows"], ncols=meta["ncols"],
         row_start=tbl["row_start"][0], symmetric=symmetric, dvals=dvals,
@@ -283,6 +287,11 @@ class ShardedCsx:
                 "use auto or replicated")
         self.x_mode = mode
 
+        # Page-bucketed delta layouts for the SPMD program (replicated-x,
+        # unsymmetric only): every shard is rebuilt with the union (T, q)
+        # so the one program fits all shards (dummy tiles contribute 0).
+        self._stack_delta_pages(mat)
+
         # Place each shard's tables in its device's memory (the reference's
         # NUMA onnode placement, numa_util.c); log the placement like the
         # reference's allocation checks (CsxBuild.hpp:182-199).
@@ -296,6 +305,69 @@ class ShardedCsx:
                      self.meta["row_start"][i] + self.meta["nrows_loc"][i],
                      self.x_mode)
         self._fn = self._build()
+
+    def _stack_delta_pages(self, mat: CsxMatrix) -> None:
+        """Rebuild every shard's delta into the page-bucketed layout with a
+        union (T, q) signature and stack the plans with a leading shard
+        axis.  Applies only when x is replicated (the kernel gathers from
+        the full x) and the matrix is unsymmetric; any shard failing the
+        layout disables it for all (one SPMD program)."""
+        self._dpages_sig = None
+        if self.x_mode != "replicated" or self.symmetric:
+            return
+        from sparsex_tpu.ops.exec import _pallas_mode
+        from sparsex_tpu.ops.pallas_kernels import (build_delta_pages,
+                                                    dia_pallas_ok)
+        if _pallas_mode() is False or not dia_pallas_ok():
+            return
+        max_rows = self.meta["max_rows"]
+        firsts = []
+        for t in mat.shards:
+            d = t.delta
+            if d is None or not d.nnz:
+                return
+            rep, _ = build_delta_pages(
+                np.asarray(d.cols, dtype=np.int64),
+                np.asarray(d.row_ids, dtype=np.int64),
+                np.asarray(d.vals), mat.ncols, max_rows)
+            if rep is None:
+                return
+            firsts.append(rep)
+        q_max = max(r["q"] for r in firsts)
+        t_max = max(r["plo"].size for r in firsts)
+        reps, lefts = [], []
+        for t in mat.shards:
+            d = t.delta
+            rep, left = build_delta_pages(
+                np.asarray(d.cols, dtype=np.int64),
+                np.asarray(d.row_ids, dtype=np.int64),
+                np.asarray(d.vals), mat.ncols, max_rows,
+                q_force=q_max, t_force=t_max)
+            if rep is None or rep["q"] != q_max or rep["plo"].size != t_max:
+                return
+            reps.append(rep)
+            lefts.append(np.sort(left) if left.size else left)
+        npages = reps[0]["npages"]
+        n = len(reps)
+        stacked = {k: np.stack([r[k] for r in reps])
+                   for k in ("plo", "sub", "lane", "vals", "rows")}
+        self.arrays["delta_pages"] = stacked
+        # leftovers replace the stacked delta (padded, sorted row ids)
+        dn = max(l.size for l in lefts)
+        vdt = self.arrays["delta"]["vals"].dtype
+        d_cols = np.zeros((n, dn), dtype=np.int32)
+        d_vals = np.zeros((n, dn), dtype=vdt)
+        d_rowids = np.zeros((n, dn), dtype=np.int32)
+        for i, (t, l) in enumerate(zip(mat.shards, lefts)):
+            d_rowids[i, :] = max(0, t.nrows - 1)
+            if l.size:
+                d_cols[i, : l.size] = t.delta.cols[l]
+                d_vals[i, : l.size] = t.delta.vals[l]
+                d_rowids[i, : l.size] = t.delta.row_ids[l]
+        self.arrays["delta"] = {"cols": d_cols, "vals": d_vals,
+                                "row_ids": d_rowids}
+        self._dpages_sig = ("dpages", t_max, q_max, npages)
+        self.meta["dpages"] = self._dpages_sig
 
     def _build(self):
         import jax

@@ -200,6 +200,42 @@ def test_symmetric_paged_delta_interpret(monkeypatch):
     assert max_rel_error(y2, dense @ x) < 1e-9
 
 
+def test_sharded_delta_pages_interpret(monkeypatch):
+    """SPMD paged delta: union (T, q) across shards, dummy tiles, leftover
+    stacking — vs dense oracle on a 4-device mesh (interpret mode)."""
+    import sparsex_tpu.ops.pallas_kernels as pk_mod
+    from jax.sharding import Mesh
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+    from sparsex_tpu.ops.oracle import max_rel_error
+    from sparsex_tpu.parallel.shard import ShardedCsx
+
+    monkeypatch.setattr(pk_mod, "MIN_PAGE_NNZ", 64)
+    monkeypatch.setattr(pk_mod, "dia_pallas_ok", lambda: True)
+    cfg = Config.instance()
+    cfg.set("spx.preproc.xform", "none")
+    cfg.set("spx.rt.nr_threads", "4")
+    cfg.set("spx.tpu.x_mode", "replicated")
+    n = 4096
+    rng = np.random.default_rng(3)
+    rows = rng.integers(0, n, 6000)
+    cols = rng.integers(0, n, 6000)
+    _, u = np.unique(rows * n + cols, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size)
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    sh = ShardedCsx(mat, mesh=Mesh(np.array(jax.devices()[:4]), ("shards",)))
+    assert sh._dpages_sig is not None, "sharded pages not built"
+    x = rng.standard_normal(n)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(sh.matvec(x))
+    dense = np.zeros((n, n))
+    dense[rows, cols] = vals
+    assert max_rel_error(y, dense @ x) < 1e-9
+
+
 def test_full_executor_with_pallas_interpret():
     """End-to-end: executor with spx.tpu.use_pallas=on under the
     interpreter matches the oracle."""
