@@ -282,17 +282,20 @@ def delta_pages_spmv(rep_meta, rep, x, nrows_part: int, ncols: int, acc,
 # back to (U, W) gathered-x — feeding the existing FMA/einsum unchanged.
 
 
-def build_unit_pages(flat_cols: np.ndarray, W: int, ncols: int):
+def build_unit_pages(flat_cols: np.ndarray, W: int, ncols: int,
+                     q_force: int = 0, min_elems: int = 1 << 13):
     """Plan a paged gather for a (U, W) column-index table.
 
     ``flat_cols``: (U*W,) the x indices unit-major (already clipped to
     [0, ncols)).  Returns (unit_order, n_pageable_units, plan) where
     ``plan`` is None if not applicable; units [0, n_pageable) of the
     reordered table are gathered by the kernel, the rest via jnp.take.
+    ``q_force`` pads the page-window width (the sharded executor unifies
+    signatures across shards with it).
     """
     M = flat_cols.size
     U = M // W
-    if U * W != M or M < (1 << 13) or W > DELTA_TILE:
+    if U * W != M or M < min_elems or W > DELTA_TILE:
         return None, 0, None
     g = max(1, DELTA_TILE // W)  # units per tile
     cu = flat_cols.reshape(U, W)
@@ -318,6 +321,7 @@ def build_unit_pages(flat_cols: np.ndarray, W: int, ncols: int):
     T = len(pageable)
     q = max(int(umax[sel].max() // PAGE) - plo + 1
             for sel, plo in pageable)
+    q = max(q, q_force)
     sub = np.zeros((T, DELTA_TILE), dtype=np.int32)
     lane = np.zeros((T, DELTA_TILE), dtype=np.int32)
     plo_arr = np.zeros(T, dtype=np.int32)

@@ -77,6 +77,10 @@ def stack_shards(mat: CsxMatrix, value_dtype=None):
         enc_i, delta, width = key
         umax = max((rt.rows.size for t in shards for rt in t.runs
                     if (int(rt.enc), rt.delta, rt.width) == key), default=0)
+        # round up to the unit-page tile group so every shard's units map
+        # to whole kernel tiles (dummy units contribute 0)
+        g = max(1, 1024 // width) if width else 1
+        umax = -(-umax // g) * g
         rows = np.zeros((n, umax), dtype=np.int32)
         cols = np.zeros((n, umax), dtype=np.int32)
         vals = np.zeros((n, umax, width), dtype=vdt)
@@ -97,6 +101,8 @@ def stack_shards(mat: CsxMatrix, value_dtype=None):
         enc_i, br, bc = key
         umax = max((bt.rows.size for t in shards for bt in t.blocks
                     if (int(bt.enc), bt.br, bt.bc) == key), default=0)
+        g = max(1, 1024 // bc) if bc else 1
+        umax = -(-umax // g) * g
         rows = np.zeros((n, umax), dtype=np.int32)
         cols = np.zeros((n, umax), dtype=np.int32)
         vals = np.zeros((n, umax, br, bc), dtype=vdt)
@@ -287,10 +293,12 @@ class ShardedCsx:
                 "use auto or replicated")
         self.x_mode = mode
 
-        # Page-bucketed delta layouts for the SPMD program (replicated-x,
-        # unsymmetric only): every shard is rebuilt with the union (T, q)
-        # so the one program fits all shards (dummy tiles contribute 0).
+        # Page-bucketed layouts for the SPMD program (replicated-x only):
+        # every shard is rebuilt with the union signature so the one
+        # program fits all shards (dummy tiles/units contribute 0).
         self._stack_delta_pages(mat)
+        if not self.symmetric:
+            self._stack_unit_pages(mat)
 
         # Place each shard's tables in its device's memory (the reference's
         # NUMA onnode placement, numa_util.c); log the placement like the
@@ -368,6 +376,95 @@ class ShardedCsx:
                                 "row_ids": d_rowids}
         self._dpages_sig = ("dpages", t_max, q_max, npages)
         self.meta["dpages"] = self._dpages_sig
+
+    def _stack_unit_pages(self, mat: CsxMatrix) -> None:
+        """Unit-page gather plans for the stacked run/block tables.
+
+        A table key upgrades only when EVERY shard pages completely (no
+        spilled tiles; stacked unit counts are already padded to whole tile
+        groups), so one SPMD program covers all shards.  Unit arrays are
+        reordered per shard to the plan order."""
+        if self.x_mode != "replicated":
+            return
+        from sparsex_tpu.ops.exec import _pallas_mode
+        from sparsex_tpu.ops.pallas_kernels import (build_unit_pages,
+                                                    dia_pallas_ok)
+        if _pallas_mode() is False or not dia_pallas_ok():
+            return
+        ncols = self.meta["ncols"]
+        n = self.meta["n"]
+
+        def upgrade(keys, tables, widths_of, gidx_of):
+            new_keys = []
+            for key, t in zip(keys, tables):
+                W = widths_of(key)
+                U = t["cols"].shape[1]
+                if W is None or W < 2 or U == 0:
+                    new_keys.append(key)
+                    continue
+                orders, plans = [], []
+                ok = True
+                qmax = 0
+                for i in range(n):
+                    flat = np.clip(gidx_of(key, t["cols"][i]), 0,
+                                   ncols - 1).reshape(-1)
+                    order, n_page, plan = build_unit_pages(flat, W, ncols)
+                    if plan is None or n_page != U:
+                        ok = False
+                        break
+                    orders.append(order)
+                    plans.append(plan)
+                    qmax = max(qmax, plan["q"])
+                if not ok:
+                    new_keys.append(key)
+                    continue
+                # second pass only where q needs widening
+                for i in range(n):
+                    if plans[i]["q"] != qmax:
+                        flat = np.clip(gidx_of(key, t["cols"][i]), 0,
+                                       ncols - 1).reshape(-1)
+                        order, n_page, plan = build_unit_pages(
+                            flat, W, ncols, q_force=qmax)
+                        if plan is None or n_page != U or plan["q"] != qmax:
+                            ok = False
+                            break
+                        orders[i] = order
+                        plans[i] = plan
+                if not ok:
+                    new_keys.append(key)
+                    continue
+                for i in range(n):
+                    t["rows"][i] = t["rows"][i][orders[i]]
+                    t["cols"][i] = t["cols"][i][orders[i]]
+                    t["vals"][i] = t["vals"][i][orders[i]]
+                t["plan"] = {k: np.stack([p[k] for p in plans])
+                             for k in ("plo", "sub", "lane")}
+                p0 = plans[0]
+                new_keys.append(key + ((p0["T"], qmax, p0["g"],
+                                        p0["npages"]),))
+            return tuple(new_keys)
+
+        def run_width(key):
+            enc_i, delta, width = key
+            sr, sc = run_step(EncType(enc_i))
+            return width if sc != 0 else None
+
+        def run_gidx(key, cols):
+            enc_i, delta, width = key
+            sr, sc = run_step(EncType(enc_i))
+            lane = np.arange(width, dtype=np.int64)
+            return cols[:, None].astype(np.int64) + (sc * delta) * lane
+
+        def block_gidx(key, cols):
+            enc_i, br, bc = key
+            return (cols[:, None].astype(np.int64)
+                    + np.arange(bc, dtype=np.int64)[None, :])
+
+        self.meta["run_keys"] = upgrade(
+            self.meta["run_keys"], self.arrays["runs"], run_width, run_gidx)
+        self.meta["block_keys"] = upgrade(
+            self.meta["block_keys"], self.arrays["blocks"],
+            lambda key: key[2] if key[2] >= 2 else None, block_gidx)
 
     def _build(self):
         import jax

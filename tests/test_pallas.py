@@ -270,3 +270,50 @@ def test_full_executor_with_pallas_interpret():
         y = np.asarray(mat.matvec(x))
     _compiled.cache_clear()
     assert max_rel_error(y, dense @ x) < 1e-6
+
+
+def test_sharded_unit_pages_interpret(monkeypatch):
+    """SPMD unit-page plans (block tables) across shards vs dense oracle."""
+    import sparsex_tpu.ops.pallas_kernels as pk_mod
+    from jax.sharding import Mesh
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+    from sparsex_tpu.ops.oracle import max_rel_error
+    from sparsex_tpu.parallel.shard import ShardedCsx
+
+    monkeypatch.setattr(pk_mod, "dia_pallas_ok", lambda: True)
+    orig = pk_mod.build_unit_pages
+    monkeypatch.setattr(pk_mod, "build_unit_pages",
+                        lambda *a, **k: orig(*a, min_elems=64, **k)
+                        if "min_elems" not in k else orig(*a, **k))
+    cfg = Config.instance()
+    cfg.set("spx.preproc.xform", "br4")
+    cfg.set("spx.preproc.sampling", "none")
+    cfg.set("spx.rt.nr_threads", "2")
+    cfg.set("spx.tpu.x_mode", "replicated")
+    n = 2048
+    rng = np.random.default_rng(5)
+    # aligned 4x4 blocks
+    coords = {(int(a), int(b)) for a, b in
+              zip(rng.integers(0, n // 4, 300), rng.integers(0, n // 4, 300))}
+    rows, cols = [], []
+    rr, cc = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
+    for (bi, bj) in sorted(coords):
+        rows.append((bi * 4 + rr).ravel())
+        cols.append((bj * 4 + cc).ravel())
+    rows = np.concatenate(rows).astype(np.int64)
+    cols = np.concatenate(cols).astype(np.int64)
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size)
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    assert all(t.blocks for t in mat.shards)
+    sh = ShardedCsx(mat, mesh=Mesh(np.array(jax.devices()[:2]), ("shards",)))
+    upgraded = any(len(k) > 3 for k in sh.meta["block_keys"])
+    assert upgraded, sh.meta["block_keys"]
+    x = rng.standard_normal(n)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(sh.matvec(x))
+    dense = np.zeros((n, n))
+    dense[rows, cols] = vals
+    assert max_rel_error(y, dense @ x) < 1e-9
