@@ -47,12 +47,15 @@ def main():
     print(f"tuned {n}x{n} (lower nnz={rows.size}) "
           f"in {time.perf_counter() - t0:.2f}s")
 
+    import jax
     b = rng.standard_normal(n)
-    # first solve includes XLA compilation; time the warm second solve
-    x, iters, res = cg(lambda v: A.matvec(v), b, tol=1e-8, maxiter=2000)
-    np.asarray(x)
+    # jit the whole solve so the warm call hits the compile cache
+    solve = jax.jit(lambda bv: cg(lambda v: A.matvec(v), bv,
+                                  tol=1e-8, maxiter=2000))
+    x, iters, res = solve(b)
+    np.asarray(x)  # compile + first run
     t0 = time.perf_counter()
-    x, iters, res = cg(lambda v: A.matvec(v), b, tol=1e-8, maxiter=2000)
+    x, iters, res = solve(b)
     np.asarray(x)
     dt = time.perf_counter() - t0
     print(f"CG converged in {int(iters)} iterations, "

@@ -29,6 +29,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from sparsex_tpu.csx import CsxMatrix
+from sparsex_tpu.ops.pallas_kernels import DELTA_TILE
 from sparsex_tpu.preprocess.encodings import EncType
 from sparsex_tpu.preprocess.tables import CsxTables
 from sparsex_tpu.preprocess.xform import run_step
@@ -79,7 +80,7 @@ def stack_shards(mat: CsxMatrix, value_dtype=None):
                     if (int(rt.enc), rt.delta, rt.width) == key), default=0)
         # round up to the unit-page tile group so every shard's units map
         # to whole kernel tiles (dummy units contribute 0)
-        g = max(1, 1024 // width) if width else 1
+        g = max(1, DELTA_TILE // width) if width else 1
         umax = -(-umax // g) * g
         rows = np.zeros((n, umax), dtype=np.int32)
         cols = np.zeros((n, umax), dtype=np.int32)
@@ -91,6 +92,10 @@ def stack_shards(mat: CsxMatrix, value_dtype=None):
                     rows[i, :u] = rt.rows
                     cols[i, :u] = rt.cols
                     vals[i, :u] = rt.vals
+                    # dummy units carry a representative column so the
+                    # page planner keeps locality (vals are 0)
+                    if u:
+                        cols[i, u:] = rt.cols[u - 1]
         run_arrays.append({"rows": rows, "cols": cols, "vals": vals})
 
     # --- block tables: union of (enc, br, bc) ---
@@ -101,7 +106,7 @@ def stack_shards(mat: CsxMatrix, value_dtype=None):
         enc_i, br, bc = key
         umax = max((bt.rows.size for t in shards for bt in t.blocks
                     if (int(bt.enc), bt.br, bt.bc) == key), default=0)
-        g = max(1, 1024 // bc) if bc else 1
+        g = max(1, DELTA_TILE // bc) if bc else 1
         umax = -(-umax // g) * g
         rows = np.zeros((n, umax), dtype=np.int32)
         cols = np.zeros((n, umax), dtype=np.int32)
@@ -113,6 +118,8 @@ def stack_shards(mat: CsxMatrix, value_dtype=None):
                     rows[i, :u] = bt.rows
                     cols[i, :u] = bt.cols
                     vals[i, :u] = bt.vals
+                    if u:
+                        cols[i, u:] = bt.cols[u - 1]
         block_arrays.append({"rows": rows, "cols": cols, "vals": vals})
 
     # --- DIA tables: union over the anti flag, padded to max diag count ---
@@ -329,33 +336,59 @@ class ShardedCsx:
         if _pallas_mode() is False or not dia_pallas_ok():
             return
         max_rows = self.meta["max_rows"]
-        firsts = []
+        empty = np.zeros(0, dtype=np.int64)
+        reps, lefts = [], []
         for t in mat.shards:
             d = t.delta
             if d is None or not d.nnz:
-                return
-            rep, _ = build_delta_pages(
+                reps.append(None)          # all-dummy shard
+                lefts.append(empty)
+                continue
+            rep, left = build_delta_pages(
                 np.asarray(d.cols, dtype=np.int64),
                 np.asarray(d.row_ids, dtype=np.int64),
                 np.asarray(d.vals), mat.ncols, max_rows)
             if rep is None:
-                return
-            firsts.append(rep)
-        q_max = max(r["q"] for r in firsts)
-        t_max = max(r["plo"].size for r in firsts)
-        reps, lefts = [], []
-        for t in mat.shards:
-            d = t.delta
-            rep, left = build_delta_pages(
-                np.asarray(d.cols, dtype=np.int64),
-                np.asarray(d.row_ids, dtype=np.int64),
-                np.asarray(d.vals), mat.ncols, max_rows,
-                q_force=q_max, t_force=t_max)
-            if rep is None or rep["q"] != q_max or rep["plo"].size != t_max:
-                return
+                # too small / unpageable: keep the whole delta on the XLA
+                # path for this shard (dummy tiles in the kernel)
+                reps.append(None)
+                lefts.append(np.arange(d.nnz, dtype=np.int64))
+                continue
             reps.append(rep)
             lefts.append(np.sort(left) if left.size else left)
-        npages = reps[0]["npages"]
+        real = [r for r in reps if r is not None]
+        if not real:
+            return
+        q_max = max(r["q"] for r in real)
+        t_max = max(r["plo"].size for r in real)
+        npages = real[0]["npages"]
+        vdt0 = self.arrays["delta"]["vals"].dtype
+        for i, (t, rep) in enumerate(zip(mat.shards, reps)):
+            if rep is not None and (rep["q"] != q_max
+                                    or rep["plo"].size != t_max):
+                # widen/pad only the shards whose signature differs
+                d = t.delta
+                rep, left = build_delta_pages(
+                    np.asarray(d.cols, dtype=np.int64),
+                    np.asarray(d.row_ids, dtype=np.int64),
+                    np.asarray(d.vals), mat.ncols, max_rows,
+                    q_force=q_max, t_force=t_max)
+                if (rep is None or rep["q"] != q_max
+                        or rep["plo"].size != t_max):
+                    return
+                reps[i] = rep
+                lefts[i] = np.sort(left) if left.size else left
+            elif rep is None:
+                # all-dummy rep: every tile padded, rows -> sentinel
+                reps[i] = {
+                    "plo": np.zeros(t_max, dtype=np.int32),
+                    "sub": np.zeros((t_max, 8, 128), dtype=np.int32),
+                    "lane": np.zeros((t_max, 8, 128), dtype=np.int32),
+                    "vals": np.zeros((t_max, 8, 128), dtype=vdt0),
+                    "rows": np.full(t_max * DELTA_TILE, max_rows,
+                                    dtype=np.int32),
+                    "q": q_max, "npages": npages,
+                }
         n = len(reps)
         stacked = {k: np.stack([r[k] for r in reps])
                    for k in ("plo", "sub", "lane", "vals", "rows")}
