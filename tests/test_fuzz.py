@@ -97,3 +97,61 @@ def test_fuzz_vs_oracle(seed, xform, nshards):
     d2 = np.zeros((nrows, ncols))
     d2[rr, cc] = vv
     np.testing.assert_allclose(d2, dense, atol=1e-12)
+
+
+SYM_CASES = list(itertools.product(range(4), [1, 2]))
+
+
+@pytest.mark.parametrize("seed,nshards", SYM_CASES,
+                         ids=[f"s{s}-p{p}" for s, p in SYM_CASES])
+def test_fuzz_symmetric(seed, nshards):
+    """Random symmetric structure mixes vs the mirrored dense oracle,
+    plus a save/restore roundtrip."""
+    from sparsex_tpu.persist import restore_csx, save_csx
+    from sparsex_tpu.symmetric import build_symmetric_csx
+    import tempfile, os
+
+    cfg = Config.instance()
+    cfg.set("spx.preproc.xform", "all")
+    cfg.set("spx.preproc.sampling", "none")
+    cfg.set("spx.rt.nr_threads", str(nshards))
+    n = 120 + 31 * seed
+    rng = np.random.default_rng(seed + 77)
+    rows = [np.arange(n)]
+    cols = [np.arange(n)]
+    # random lower-triangle entries + a lower band
+    r = rng.integers(1, n, 4 * n)
+    c = (r * 0 + rng.integers(0, n, 4 * n)) % r
+    rows.append(r)
+    cols.append(c)
+    b = int(rng.integers(1, 6))
+    rr = np.arange(b, n)
+    rows.append(rr)
+    cols.append(rr - b)
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    _, u = np.unique(rows * n + cols, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size) + 0.1
+    mat = build_symmetric_csx(n, n, rows, cols, vals, already_lower=True)
+
+    off = rows != cols
+    fr = np.concatenate([rows, cols[off]])
+    fc = np.concatenate([cols, rows[off]])
+    fv = np.concatenate([vals, vals[off]])
+    dense = np.zeros((n, n))
+    dense[fr, fc] = fv
+    x = rng.standard_normal(n)
+    err = max_rel_error(np.asarray(mat.matvec(x, alpha=0.7)),
+                        0.7 * dense @ x)
+    assert err < 1e-9, (seed, nshards, err)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "m.npz")
+        save_csx(mat, path)
+        mat2, _ = restore_csx(path)
+    err2 = max_rel_error(np.asarray(mat2.matvec(x, alpha=0.7)),
+                         0.7 * dense @ x)
+    assert err2 < 1e-9, (seed, nshards, err2)
