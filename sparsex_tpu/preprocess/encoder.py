@@ -223,7 +223,11 @@ class Encoder:
         # reference also keeps its partition in the last Transform's order,
         # SparsePartition.hpp:680-744); finalize() restores row-major.
 
-    def _extract_blocks(self, t: EncType, res: MiningResult) -> None:
+    def _extract_blocks(self, t: EncType, res: MiningResult,
+                        allowed_ks: Optional[Sequence[int]] = None) -> None:
+        """``allowed_ks`` (from an explicit sequence like ``"br2{4}"``)
+        restricts the second block dimension to the listed values, in order
+        (ref EncodeSerial's explicit instantiations)."""
         br = res.block_runs
         if br is None or br.heads.size == 0:
             return
@@ -234,16 +238,29 @@ class Encoder:
         m = vals_sorted.size
         covered = np.zeros(m, dtype=bool)
 
+        forced = (sorted({int(k) for k in allowed_ks
+                          if 2 <= int(k) <= kmax}, reverse=True)
+                  if allowed_ks else None)
         runs_left = BlockRuns(align=align, heads=br.heads.copy(),
                               other_dims=br.other_dims.copy())
         while True:
-            if self.cfg.split_blocks:
+            if forced is not None:
+                if not forced:
+                    break
+                k = forced.pop()
+                heads, sizes, k = split_block_runs(runs_left, kmax,
+                                                   dominant_k=k)
+            elif self.cfg.split_blocks:
                 heads, sizes, k = split_block_runs(runs_left, kmax)
             else:
                 k = int(min(int(runs_left.other_dims.max()), kmax))
                 heads, sizes, k = split_block_runs(runs_left, kmax,
                                                    dominant_k=k)
-            if heads.size == 0 or k < 2:
+            if k < 2:
+                break
+            if heads.size == 0:
+                if forced is not None:
+                    continue
                 break
             span = k * align
             idx = heads[:, None] + np.arange(span, dtype=np.int64)[None, :]
@@ -278,6 +295,7 @@ class Encoder:
                 heads=(runs_left.heads + used * align)[keep_rem],
                 other_dims=rem[keep_rem],
             )
+            # forced mode continues with the next listed k only
 
         keep = ~covered
         self.rows = take1(self.rows, order)[keep]
@@ -296,7 +314,9 @@ class Encoder:
             return
         res = self._mine(t, self.rows, self.cols, allowed_deltas)
         if t.is_block:
-            self._extract_blocks(t, res)
+            # for blocks, explicit "deltas" are the second block dimension
+            # (the reference's instantiation id, CsxUtil.hpp:57-73)
+            self._extract_blocks(t, res, allowed_ks=allowed_deltas)
         else:
             self._extract_runs(t, res)
         self.encoded_types.append(t)

@@ -118,3 +118,31 @@ def test_block_misaligned_start_skipped():
     # tcols but misaligned coverage -> other_dim per trow = 2 at best
     if res.block_runs is not None:
         assert (res.block_runs.other_dims >= 2).all()
+
+
+def test_explicit_block_second_dim():
+    """'br2{4}' must emit only 2x4 blocks (explicit instantiation parity)."""
+    import numpy as np
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+    from sparsex_tpu.ops.oracle import max_rel_error
+
+    cfg = Config.instance()
+    cfg.set("spx.preproc.xform", "br2{4}")
+    cfg.set("spx.preproc.sampling", "none")
+    n = 64
+    # one 2x8 dense block: with k forced to 4 it must split into two 2x4s
+    rr, cc = np.meshgrid(np.arange(2), np.arange(8), indexing="ij")
+    rows = (10 + rr).ravel().astype(np.int64)
+    cols = (20 + cc).ravel().astype(np.int64)
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = np.arange(1.0, rows.size + 1)
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    t = mat.shards[0]
+    assert t.blocks and all(b.br == 2 and b.bc == 4 for b in t.blocks)
+    assert sum(b.vals.shape[0] for b in t.blocks) == 2
+    x = np.random.default_rng(0).standard_normal(n)
+    dense = np.zeros((n, n))
+    dense[rows, cols] = vals
+    assert max_rel_error(np.asarray(mat.matvec(x)), dense @ x) < 1e-12
