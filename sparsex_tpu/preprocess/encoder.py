@@ -238,8 +238,9 @@ class Encoder:
         m = vals_sorted.size
         covered = np.zeros(m, dtype=bool)
 
+        # pop() applies the largest listed dimension first
         forced = (sorted({int(k) for k in allowed_ks
-                          if 2 <= int(k) <= kmax}, reverse=True)
+                          if 2 <= int(k) <= kmax})
                   if allowed_ks else None)
         runs_left = BlockRuns(align=align, heads=br.heads.copy(),
                               other_dims=br.other_dims.copy())
