@@ -45,10 +45,14 @@ from sparsex_tpu.timing import TimerCollection
 
 @dataclass
 class InstStats:
-    """StatsData parity: nnz encoded + number of pattern units."""
+    """StatsData parity: nnz encoded + number of pattern units.
+
+    ``n_groups`` counts distinct diagonals (offsets) for diagonal types —
+    the tpu heuristic estimates DIA-fold fill from it."""
 
     encoded: int = 0
     patterns: int = 0
+    n_groups: int = 0
 
 
 class Encoder:
@@ -126,10 +130,17 @@ class Encoder:
                     s.encoded += int(scale * m.sum() * k * br.align)
                     s.patterns += int(np.ceil(scale * m.sum()))
         else:
+            diag_like = t in (EncType.DIAGONAL, EncType.ANTI_DIAGONAL)
             for ru in res.runs:
                 s = stats.setdefault(ru.delta, InstStats())
                 s.encoded += int(scale * ru.sizes.sum())
                 s.patterns += int(np.ceil(scale * ru.heads.size))
+                if diag_like:
+                    # distinct diagonals touched (trow IS the diagonal id in
+                    # the transformed frame); sampling underestimates, which
+                    # overestimates fill — acceptable optimism
+                    s.n_groups += int(np.unique(
+                        res.trows[ru.heads]).size)
         return stats
 
     def _filter_coverage(self, stats: Dict[int, InstStats]) -> Dict[int, InstStats]:
@@ -145,7 +156,8 @@ class Encoder:
     _TPU_GATHER_NS = 6.6
     _TPU_UNIT_OVERHEAD_NS = 30.0
 
-    def _tpu_exec_ns(self, t: EncType, inst: int) -> float:
+    def _tpu_exec_ns(self, t: EncType, inst: int,
+                     s: Optional[InstStats] = None) -> float:
         """Estimated execution cost per encoded nnz for a pattern type.
 
         The TPU replacement for the reference's switch-count cost model
@@ -156,7 +168,15 @@ class Encoder:
         einsum (blocks).
         """
         if t in (EncType.DIAGONAL, EncType.ANTI_DIAGONAL):
-            return 0.5  # DIA fold: elementwise at HBM speed
+            # DIA fold is elementwise at HBM speed, but only diagonals whose
+            # fill reaches spx.tpu.dia_min_fill fold; the rest execute as
+            # scatter RunTables, which are WORSE than the (paged) delta
+            # path.  Estimate fill from the distinct-offsets count.
+            if s is not None and s.n_groups:
+                fill = s.encoded / max(1.0, s.n_groups * self.nrows)
+                if fill < self.cfg.dia_min_fill:
+                    return self._TPU_DELTA_NS + 1.0  # never worth encoding
+            return 0.5
         if t == EncType.HORIZONTAL:
             return self._TPU_GATHER_NS + 0.5  # x gather per nnz, y per unit
         if t == EncType.VERTICAL:
@@ -175,18 +195,24 @@ class Encoder:
         estimated execution-time savings vs leaving the nnz on the delta
         path, charging a fixed per-unit overhead.
         """
-        score = 0
+        return sum(self.inst_scores(t, stats).values())
+
+    def inst_scores(self, t: EncType,
+                    stats: Dict[int, InstStats]) -> Dict[int, int]:
+        """Per-instantiation score contributions (>= 0)."""
+        out: Dict[int, int] = {}
         for inst, s in stats.items():
             if self.cfg.heuristic == "tpu":
                 saved = (s.encoded
-                         * (self._TPU_DELTA_NS - self._tpu_exec_ns(t, inst))
+                         * (self._TPU_DELTA_NS
+                            - self._tpu_exec_ns(t, inst, s))
                          - s.patterns * self._TPU_UNIT_OVERHEAD_NS)
-                score += max(0, int(saved))
+                out[inst] = max(0, int(saved))
             elif self.cfg.heuristic == "cost":
-                score += max(0, s.encoded - 2 * s.patterns)
+                out[inst] = max(0, s.encoded - 2 * s.patterns)
             else:
-                score += max(0, s.encoded - s.patterns)
-        return score
+                out[inst] = max(0, s.encoded - s.patterns)
+        return out
 
     # ------------------------------------------------------------------
     # encoding (extraction)
@@ -350,8 +376,12 @@ class Encoder:
             if best_t == EncType.NONE:
                 break
             self.timers.start_timer("Encode")
+            # only instantiations that actually scored > 0 get encoded
+            # (the tpu heuristic zeroes low-fill diagonals, keeping their
+            # nnz on the faster delta path)
+            contrib = self.inst_scores(best_t, best_stats)
             allowed = (None if best_t.is_block
-                       else sorted(best_stats.keys()))
+                       else sorted(d for d, v in contrib.items() if v > 0))
             log_info("Encode to %s", best_t.name)
             self.encoding_log.append(best_t.name)
             self.encode_type(best_t, allowed)

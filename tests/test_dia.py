@@ -65,7 +65,9 @@ def test_dia_folding_and_result(anti):
 
 
 def test_dia_fill_threshold():
-    """Sparse diagonals (below dia_min_fill) stay in RunTables."""
+    """Sparse diagonals (below dia_min_fill): the tpu heuristic keeps them
+    on the (faster) delta path entirely; the reference-parity heuristics
+    still encode them as RunTables; lowering the threshold folds to DIA."""
     cfg = Config.instance()
     cfg.set("spx.preproc.xform", "d")
     cfg.set("spx.preproc.sampling", "none")
@@ -78,14 +80,21 @@ def test_dia_fill_threshold():
     vals = np.ones(10)
     mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
     t = mat.shards[0]
-    assert not t.dias
-    assert t.runs and sum(r.nnz for r in t.runs) == 10
-    # lower the threshold: same input folds
+    assert not t.dias and not t.runs and t.delta.nnz == 10
+
+    cfg.set("spx.preproc.heuristic", "ratio")  # reference-style selection
+    mat_r = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    tr = mat_r.shards[0]
+    assert not tr.dias
+    assert tr.runs and sum(r.nnz for r in tr.runs) == 10
+
+    # lower the threshold: same input folds to DIA (tpu heuristic again)
+    cfg.set("spx.preproc.heuristic", "tpu")
     cfg.set("spx.tpu.dia_min_fill", "0.01")
     mat2 = CsxMatrix.from_coo(n, n, rows, cols, vals)
     assert mat2.shards[0].dias
     x = np.random.default_rng(2).standard_normal(n)
-    for m in (mat, mat2):
+    for m in (mat, mat_r, mat2):
         y = np.asarray(m.matvec(x))
         assert max_rel_error(y, dense_of(n, rows, cols, vals) @ x) < 1e-12
 
