@@ -204,8 +204,9 @@ class CsxExecutor:
     def _pages_active(self) -> bool:
         if _pallas_mode() is False:
             return False
-        from sparsex_tpu.ops.pallas_kernels import dia_pallas_ok
-        if not dia_pallas_ok():
+        from sparsex_tpu.ops.pallas_kernels import (dia_pallas_ok,
+                                                    pallas_dtype_ok)
+        if not dia_pallas_ok() or not pallas_dtype_ok(self._dtype):
             return False
         self._maybe_build_pages()
         return self._pages_meta is not None

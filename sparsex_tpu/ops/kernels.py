@@ -93,7 +93,8 @@ def _dia_contrib_static(meta_dias, dias, x, nrows_part: int, ncols: int,
 
     if use_pallas:
         from sparsex_tpu.ops.pallas_kernels import (
-            MAX_DIAGS_PALLAS, dia_spmv_pallas)
+            MAX_DIAGS_PALLAS, dia_spmv_pallas, pallas_dtype_ok)
+        use_pallas = pallas_dtype_ok(x.dtype)
 
     for (anti, offsets, _nd), t in zip(meta_dias, dias):
         dv = t["vals"]

@@ -405,12 +405,18 @@ def paged_gather(plan_meta, plan, x, ncols: int, W: int, x2=None):
 
 
 def dia_pallas_ok() -> bool:
-    """Whether the Pallas DIA kernel can run on the current backend."""
+    """Whether the Pallas kernels can run on the current backend."""
     import jax
     try:
         return jax.default_backend() in ("tpu",)
     except Exception:
         return False
+
+
+def pallas_dtype_ok(dtype) -> bool:
+    """The kernels use (8, 128) f32 tiles; Mosaic cannot tile f64 at all
+    and bf16 needs (16, 128) sublanes — both fall back to XLA."""
+    return np.dtype(dtype) == np.float32
 
 
 def dia_spmv_pallas(offsets: Sequence[int], dv, x, nrows_part: int,

@@ -332,8 +332,10 @@ class ShardedCsx:
             return
         from sparsex_tpu.ops.exec import _pallas_mode
         from sparsex_tpu.ops.pallas_kernels import (build_delta_pages,
-                                                    dia_pallas_ok)
-        if _pallas_mode() is False or not dia_pallas_ok():
+                                                    dia_pallas_ok,
+                                                    pallas_dtype_ok)
+        if (_pallas_mode() is False or not dia_pallas_ok()
+                or not pallas_dtype_ok(self.arrays["delta"]["vals"].dtype)):
             return
         max_rows = self.meta["max_rows"]
         empty = np.zeros(0, dtype=np.int64)
@@ -421,8 +423,10 @@ class ShardedCsx:
             return
         from sparsex_tpu.ops.exec import _pallas_mode
         from sparsex_tpu.ops.pallas_kernels import (build_unit_pages,
-                                                    dia_pallas_ok)
-        if _pallas_mode() is False or not dia_pallas_ok():
+                                                    dia_pallas_ok,
+                                                    pallas_dtype_ok)
+        if (_pallas_mode() is False or not dia_pallas_ok()
+                or not pallas_dtype_ok(self.arrays["delta"]["vals"].dtype)):
             return
         ncols = self.meta["ncols"]
         n = self.meta["n"]

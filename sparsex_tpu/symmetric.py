@@ -85,12 +85,14 @@ class SymCsxMatrix(CsxMatrix):
         self._sym_plain = [(static_meta(t), tables_to_arrays(t))
                            for t in self.shards]
         self._sym_paged = []
-        from sparsex_tpu.ops.pallas_kernels import build_delta_pages
+        from sparsex_tpu.ops.pallas_kernels import (build_delta_pages,
+                                                    pallas_dtype_ok)
         for tables, (pmeta, parrs) in zip(self.shards, self._sym_plain):
             arrs = dict(parrs)
             meta = pmeta
             d = tables.delta
-            if d is not None and d.nnz:
+            if (d is not None and d.nnz
+                    and pallas_dtype_ok(d.vals.dtype)):
                 cols = np.asarray(d.cols, dtype=np.int64)
                 rows = np.asarray(d.row_ids, dtype=np.int64)
                 vals = np.asarray(d.vals)

@@ -132,6 +132,7 @@ def test_unit_pages_executor_interpret(monkeypatch):
     monkeypatch.setattr(exec_mod, "_resolve_use_pallas",
                         lambda tables=None: False)  # dia stays XLA
     cfg = Config.instance()
+    cfg.set("spx.tpu.value_dtype", "float32")
     cfg.set("spx.preproc.xform", "h")
     cfg.set("spx.preproc.sampling", "none")
     n = 4096
@@ -155,7 +156,8 @@ def test_unit_pages_executor_interpret(monkeypatch):
     assert any(len(e) > 3 and e[3] for e in ex._pages_meta[2])
     dense = np.zeros((n, n))
     dense[rows, cols] = vals
-    assert max_rel_error(y, dense @ x) < 1e-6
+    want = dense @ x
+    assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
 
 
 def test_symmetric_paged_delta_interpret(monkeypatch):
@@ -169,6 +171,7 @@ def test_symmetric_paged_delta_interpret(monkeypatch):
     monkeypatch.setattr(pk_mod, "MIN_PAGE_NNZ", 64)
     monkeypatch.setattr(pk_mod, "dia_pallas_ok", lambda: True)
     cfg = Config.instance()
+    cfg.set("spx.tpu.value_dtype", "float32")
     cfg.set("spx.preproc.xform", "none")
     n = 2048
     rng = np.random.default_rng(0)
@@ -193,11 +196,12 @@ def test_symmetric_paged_delta_interpret(monkeypatch):
     fv = np.concatenate([vals, vals[off]])
     dense = np.zeros((n, n))
     dense[fr, fc] = fv
-    assert max_rel_error(y, dense @ x) < 1e-9
+    want = dense @ x
+    assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
     # per-call gating: off must route through the plain variant immediately
     cfg.set("spx.tpu.use_pallas", "off")
     y2 = np.asarray(mat.matvec(x))
-    assert max_rel_error(y2, dense @ x) < 1e-9
+    assert np.max(np.abs(y2 - want)) / np.max(np.abs(want)) < 1e-5
 
 
 def test_sharded_delta_pages_interpret(monkeypatch):
@@ -213,6 +217,7 @@ def test_sharded_delta_pages_interpret(monkeypatch):
     monkeypatch.setattr(pk_mod, "MIN_PAGE_NNZ", 64)
     monkeypatch.setattr(pk_mod, "dia_pallas_ok", lambda: True)
     cfg = Config.instance()
+    cfg.set("spx.tpu.value_dtype", "float32")
     cfg.set("spx.preproc.xform", "none")
     cfg.set("spx.rt.nr_threads", "4")
     cfg.set("spx.tpu.x_mode", "replicated")
@@ -233,7 +238,8 @@ def test_sharded_delta_pages_interpret(monkeypatch):
         y = np.asarray(sh.matvec(x))
     dense = np.zeros((n, n))
     dense[rows, cols] = vals
-    assert max_rel_error(y, dense @ x) < 1e-9
+    want = dense @ x
+    assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
 
 
 def test_full_executor_with_pallas_interpret():
@@ -287,6 +293,7 @@ def test_sharded_unit_pages_interpret(monkeypatch):
                         lambda *a, **k: orig(*a, min_elems=64, **k)
                         if "min_elems" not in k else orig(*a, **k))
     cfg = Config.instance()
+    cfg.set("spx.tpu.value_dtype", "float32")
     cfg.set("spx.preproc.xform", "br4")
     cfg.set("spx.preproc.sampling", "none")
     cfg.set("spx.rt.nr_threads", "2")
@@ -316,4 +323,5 @@ def test_sharded_unit_pages_interpret(monkeypatch):
         y = np.asarray(sh.matvec(x))
     dense = np.zeros((n, n))
     dense[rows, cols] = vals
-    assert max_rel_error(y, dense @ x) < 1e-9
+    want = dense @ x
+    assert np.max(np.abs(y - want)) / np.max(np.abs(want)) < 1e-5
