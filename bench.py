@@ -83,15 +83,17 @@ def _slope_time(make_fn, k1: int, k2: int, outer: int):
     return max(t2 - t1, 1e-9) / (k2 - k1), t1, t2
 
 
-def measure_scatter_ns():
+def measure_scatter_ns(m=1 << 20):
     """Measured per-element cost of an arbitrary scatter-add — the one op
     the leftover-singles path cannot avoid on TPU (the x-side gather is
     eliminated by the page-bucketed Pallas kernel, but products must still
-    land on arbitrary output rows; TPU serializes arbitrary scatters)."""
+    land on arbitrary output rows; TPU serializes arbitrary scatters).
+    ``m`` should match the workload's scatter size (per-element overhead is
+    size-dependent)."""
     import jax
     import jax.numpy as jnp
 
-    n, m = 1 << 20, 1 << 20
+    n = 1 << 20
     rng = np.random.default_rng(2)
     idx = jnp.asarray(rng.integers(0, n, m), dtype=jnp.int32)
     vals = jnp.asarray(rng.standard_normal(m), dtype=jnp.float32)
@@ -201,7 +203,8 @@ def main():
     mflops = 2 * nnz / (1e6 * per_iter)
 
     bw = measure_hbm_bw()
-    scatter_ns = measure_scatter_ns()
+    delta_nnz_probe = max(1 << 16, sum(t.delta.nnz for t in mat.shards))
+    scatter_ns = measure_scatter_ns(m=delta_nnz_probe)
     log(f"measured HBM BW (triad): {bw / 1e9:.0f} GB/s; "
         f"scatter floor: {scatter_ns:.1f} ns/element")
     # Machine roofline = HBM term + serial-scatter term.  The HBM term is
