@@ -24,7 +24,6 @@ from sparsex_tpu.parallel.partition import (
 )
 from sparsex_tpu.preprocess.encoder import Encoder
 from sparsex_tpu.preprocess.mining import lexsort_rc, take1
-from sparsex_tpu.preprocess.encodings import EncType
 from sparsex_tpu.preprocess.tables import CsxTables
 from sparsex_tpu.preprocess.xform import run_step
 from sparsex_tpu.timing import TimerCollection

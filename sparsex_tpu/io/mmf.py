@@ -21,7 +21,7 @@ The loader is vectorized NumPy end-to-end (no per-element Python loop).
 from __future__ import annotations
 
 import io as _io
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import numpy as np

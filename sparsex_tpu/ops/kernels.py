@@ -29,7 +29,7 @@ Padded lanes carry zero values and clamped indices, contributing exactly 0.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 

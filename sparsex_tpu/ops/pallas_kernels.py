@@ -24,7 +24,7 @@ diagonal of the flipped frame).
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -22,9 +22,7 @@ carry zero values and index 0, contributing nothing).
 
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

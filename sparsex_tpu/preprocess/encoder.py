@@ -25,13 +25,13 @@ reference).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
 from sparsex_tpu.config import Config
 from sparsex_tpu.logger import log_info, log_verbose
-from sparsex_tpu.preprocess.encodings import EncType, EncodingSequence, expand_types
+from sparsex_tpu.preprocess.encodings import EncType, EncodingSequence
 from sparsex_tpu.preprocess.mining import (
     BlockRuns, MiningResult, lexsort_rc, mine_blocks, mine_runs,
     split_block_runs, take1,

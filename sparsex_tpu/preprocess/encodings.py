@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import enum
 import re
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 from sparsex_tpu.errors import ErrorCode, seterror
 

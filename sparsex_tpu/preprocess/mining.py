@@ -26,7 +26,7 @@ O(nnz log nnz) NumPy with no Python-per-element loops.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

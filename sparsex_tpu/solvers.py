@@ -9,7 +9,7 @@ executors (CsxMatrix, SymCsxMatrix, ShardedCsx) — the loop is a
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 
 def cg(matvec: Callable, b, x0=None, *, tol: float = 1e-8,

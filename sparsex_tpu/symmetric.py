@@ -20,7 +20,7 @@ single-host loop.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np
@@ -33,10 +33,8 @@ from sparsex_tpu.ops.exec import CsxExecutor
 from sparsex_tpu.ops.kernels import local_contrib, static_meta, tables_to_arrays
 from sparsex_tpu.parallel.partition import row_counts_from_coo, split_rows_by_nnz
 from sparsex_tpu.preprocess.encoder import Encoder
-from sparsex_tpu.preprocess.encodings import EncType
 from sparsex_tpu.preprocess.mining import lexsort_rc, take1
 from sparsex_tpu.preprocess.tables import CsxTables
-from sparsex_tpu.preprocess.xform import run_step
 
 
 @functools.lru_cache(maxsize=64)
