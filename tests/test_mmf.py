@@ -88,3 +88,45 @@ def test_extra_column_rejected():
             "2 2 2\n1 1 1.0 9\n2 2 1.0\n")
     with pytest.raises(SparsexError):
         load_mmf(text)
+
+
+def test_mmf_property_roundtrip_fuzz():
+    """Random COO -> save_mmf -> load_mmf roundtrips exactly, across banner
+    variants; native and NumPy parsers agree."""
+    import numpy as np
+    from sparsex_tpu.io.mmf import load_mmf, save_mmf
+    import tempfile, os
+
+    rng = np.random.default_rng(0)
+    for seed in range(6):
+        r2 = np.random.default_rng(seed + 10)
+        nrows = int(r2.integers(1, 40))
+        ncols = int(r2.integers(1, 40))
+        m = int(r2.integers(0, nrows * ncols // 2 + 1))
+        rows = r2.integers(0, nrows, m)
+        cols = r2.integers(0, ncols, m)
+        _, u = np.unique(rows * ncols + cols, return_index=True)
+        rows, cols = rows[u], cols[u]
+        o = np.lexsort((cols, rows))
+        rows, cols = rows[o], cols[o]
+        vals = np.round(r2.standard_normal(rows.size), 6)
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "f.mtx")
+            save_mmf(path, nrows, ncols, rows, cols, vals)
+            mm = load_mmf(path)
+        assert (mm.nrows, mm.ncols, mm.nnz) == (nrows, ncols, rows.size)
+        np.testing.assert_array_equal(mm.rows, rows)
+        np.testing.assert_array_equal(mm.cols, cols)
+        np.testing.assert_allclose(mm.vals, vals)
+
+
+def test_mmf_zero_base_and_column_banner():
+    from sparsex_tpu.io.mmf import load_mmf
+    import numpy as np
+    # column-wise 0-based enumeration of [[1,0],[2,3]]
+    text = ("%%MatrixMarket matrix coordinate real general 0-base column\n"
+            "2 2 3\n0 0 1.0\n1 0 2.0\n1 1 3.0\n")
+    mm = load_mmf(text)
+    d = np.zeros((2, 2))
+    d[mm.rows, mm.cols] = mm.vals
+    np.testing.assert_allclose(d, [[1.0, 0.0], [2.0, 3.0]])
