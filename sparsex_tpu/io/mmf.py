@@ -159,9 +159,8 @@ def load_mmf(source, *, keep_lower: bool = False,
     if not zero_based:
         rows -= 1
         cols -= 1
-    if colwise:
-        # The file enumerates (col, row); bring back to (row, col).
-        rows, cols = cols, rows
+    # "column" means the stream is column-major ORDERED; coordinates stay
+    # (row, col) — the reference just loads and sorts (Mmf.hpp:359,445-478)
 
     if rows.size and (rows.min() < 0 or cols.min() < 0 or
                       rows.max() >= nrows or cols.max() >= ncols):

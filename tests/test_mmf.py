@@ -57,10 +57,11 @@ def test_nonstandard_banner_tokens():
 def test_zero_base_and_column_wise():
     text = ("%%MatrixMarket matrix coordinate real general 0-base column\n"
             "3 3 3\n0 0 1.0\n2 0 2.0\n1 2 3.0\n")
-    # column-wise: file rows are (col, row)
+    # 'column' = stream column-major ordered; coordinates stay (row, col)
+    # and the loader sorts (ref Mmf.hpp:359,445-478)
     m = load_mmf(text)
     pairs = set(zip(m.rows.tolist(), m.cols.tolist()))
-    assert pairs == {(0, 0), (0, 2), (2, 1)}
+    assert pairs == {(0, 0), (2, 0), (1, 2)}
 
 
 def test_wrong_count_rejected():
@@ -121,12 +122,21 @@ def test_mmf_property_roundtrip_fuzz():
 
 
 def test_mmf_zero_base_and_column_banner():
+    """'column' = the stream is column-major ordered (coordinates stay
+    (row, col)); the loader sorts instead of rejecting unsorted input
+    (ref Mmf.hpp:359,445-478)."""
     from sparsex_tpu.io.mmf import load_mmf
     import numpy as np
-    # column-wise 0-based enumeration of [[1,0],[2,3]]
+    # column-major enumeration of [[1,0],[2,3]], 0-based (row col val)
     text = ("%%MatrixMarket matrix coordinate real general 0-base column\n"
             "2 2 3\n0 0 1.0\n1 0 2.0\n1 1 3.0\n")
     mm = load_mmf(text)
     d = np.zeros((2, 2))
     d[mm.rows, mm.cols] = mm.vals
     np.testing.assert_allclose(d, [[1.0, 0.0], [2.0, 3.0]])
+    # out-of-row-order stream is accepted (sorted) under 'column'
+    text2 = ("%%MatrixMarket matrix coordinate real general column\n"
+             "2 2 2\n2 1 5.0\n1 2 7.0\n")
+    mm2 = load_mmf(text2)
+    np.testing.assert_array_equal(mm2.rows, [0, 1])
+    np.testing.assert_array_equal(mm2.cols, [1, 0])
