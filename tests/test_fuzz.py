@@ -155,3 +155,53 @@ def test_fuzz_symmetric(seed, nshards):
     err2 = max_rel_error(np.asarray(mat2.matvec(x, alpha=0.7)),
                          0.7 * dense @ x)
     assert err2 < 1e-9, (seed, nshards, err2)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_reorder_persist_roundtrip(seed, tmp_path):
+    """Public API: tune with RCM reorder, save, restore, solve — the
+    permutation must survive the roundtrip."""
+    import os
+    import sparsex_tpu as spx
+    from sparsex_tpu.ops import vector as vec
+    from sparsex_tpu.ops.oracle import coo_spmv
+
+    spx.option_set("spx.preproc.xform", "all")
+    spx.option_set("spx.preproc.sampling", "none")
+    rng = np.random.default_rng(seed + 50)
+    n = 90 + 13 * seed
+    # symmetric-pattern band + random (RCM needs a square graph)
+    rows = [np.arange(n)]
+    cols = [np.arange(n)]
+    b = 1 + seed
+    r = np.arange(b, n)
+    rows += [r, r - b]
+    cols += [r - b, r]
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    _, u = np.unique(rows * n + cols, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size)
+    rowptr = np.zeros(n + 1, np.int64)
+    np.add.at(rowptr, rows + 1, 1)
+    A = spx.mat_tune(
+        spx.input_load_csr(np.cumsum(rowptr), cols, vals, n, n),
+        spx.OP_REORDER)
+    assert A.permutation is not None
+
+    path = str(tmp_path / "m.npz")
+    spx.mat_save(A, path)
+    B = spx.mat_restore(path)
+    assert B.permutation is not None
+    np.testing.assert_array_equal(A.permutation, B.permutation)
+
+    x = rng.standard_normal(n)
+    want = coo_spmv(n, rows, cols, vals, x, alpha=1.0)
+    for M in (A, B):
+        xp = vec.reorder(x, M.permutation)
+        yp = np.asarray(spx.matvec_mult(1.0, M, xp))
+        y = np.asarray(vec.inv_reorder(yp, M.permutation))
+        err = np.max(np.abs(y - want)) / max(np.max(np.abs(want)), 1e-30)
+        assert err < 1e-9, (seed, err)
