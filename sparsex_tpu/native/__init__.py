@@ -24,7 +24,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "kernels.cpp")
-_ABI_VERSION = 4
+_ABI_VERSION = 5
 # Versioned filename: dlopen caches by path and never unmaps, so rebuilding
 # over a loaded .so would hand back the stale mapping (or SIGBUS).  A new
 # ABI gets a new path; old files just linger.
@@ -36,15 +36,27 @@ _tried = False
 
 
 def _build() -> bool:
-    """Compile kernels.cpp -> _lib.so.  Returns True on success."""
+    """Compile kernels.cpp -> _lib.so.  Returns True on success.
+
+    Compiles to a process-unique tempfile and os.rename()s it over the
+    target (atomic on POSIX), so a concurrent process that already mapped
+    the .so never sees a truncated file and a racing builder loads either
+    the old or the new complete library.
+    """
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     cmd = [
         os.environ.get("CXX", "g++"), "-O3", "-shared", "-fPIC",
-        "-std=c++17", "-pthread", "-o", _LIB_PATH, _SRC,
+        "-std=c++17", "-pthread", "-o", tmp, _SRC,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.rename(tmp, _LIB_PATH)
         return True
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -92,6 +104,10 @@ def _bind(lib: ctypes.CDLL) -> None:
                                      ctypes.c_longlong, ctypes.c_longlong,
                                      i64p, ctypes.c_longlong,
                                      i64p, i64p, i64p, u8p]
+    lib.spx_color_bipartite.restype = ctypes.c_longlong
+    lib.spx_color_bipartite.argtypes = [
+        ctypes.c_longlong, i64p, i64p, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_longlong, i64p]
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -340,3 +356,88 @@ def select_units(j0, f, delta, adjacent, m, min_limit, max_limit,
         _ptr(udelta, ctypes.c_longlong), _ptr(covered, ctypes.c_ubyte))
     nu = int(nu)
     return heads[:nu], sizes[:nu], udelta[:nu], covered.view(bool)
+
+
+# ---------------------------------------------------------------------------
+# color_bipartite
+# ---------------------------------------------------------------------------
+def _color_bipartite_py(src: np.ndarray, dst: np.ndarray, n_src: int,
+                        n_dst: int, w: int) -> np.ndarray:
+    """Pure-Python Euler-split edge coloring (mirror of the C++ kernel; used
+    when the native lib is unavailable — fine at test sizes)."""
+    m = src.size
+    color = np.zeros(m, dtype=np.int64)
+    if m == 0:
+        return color
+
+    def split(edge_ids, c0, width):
+        if width == 1:
+            color[edge_ids] = c0
+            return
+        # adjacency: node -> list of edge positions
+        adj: dict = {}
+        for i, e in enumerate(edge_ids):
+            adj.setdefault(int(src[e]), []).append(i)
+            adj.setdefault(n_src + int(dst[e]), []).append(i)
+        used = np.zeros(len(edge_ids), dtype=bool)
+        ptr = {nd: 0 for nd in adj}
+        side = np.zeros(len(edge_ids), dtype=np.uint8)
+
+        def walk(start):
+            at, s = start, 0
+            while True:
+                lst = adj[at]
+                p = ptr[at]
+                while p < len(lst) and used[lst[p]]:
+                    p += 1
+                ptr[at] = p
+                if p == len(lst):
+                    return
+                i = lst[p]
+                used[i] = True
+                side[i] = s
+                s ^= 1
+                e = edge_ids[i]
+                at = n_src + int(dst[e]) if at == int(src[e]) else int(src[e])
+
+        for nd, lst in adj.items():
+            if len(lst) % 2:
+                walk(nd)
+        for nd in adj:
+            walk(nd)
+        ids = np.asarray(edge_ids)
+        split(ids[side == 0], c0, width // 2)
+        split(ids[side == 1], c0 + width // 2, width // 2)
+
+    split(np.arange(m, dtype=np.int64), 0, w)
+    return color
+
+
+def color_bipartite(src: np.ndarray, dst: np.ndarray, n_src: int,
+                    n_dst: int, w: int) -> Optional[np.ndarray]:
+    """Proper edge coloring of the bipartite multigraph (src[i] -> dst[i])
+    with ``w`` colors (w a power of two; max degree must be <= w).
+
+    Returns the per-edge color array, or None if a degree exceeds w.
+    """
+    m = src.size
+    deg_ok = w > 0 and (w & (w - 1)) == 0
+    if not deg_ok:
+        raise ValueError(f"w must be a power of two, got {w}")
+    lib = get_lib()
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    if lib is None:
+        if (m and (np.bincount(src, minlength=1).max() > w
+                   or np.bincount(dst, minlength=1).max() > w)):
+            return None
+        return _color_bipartite_py(src, dst, n_src, n_dst, w)
+    color = np.empty(m, dtype=np.int64)
+    rc = lib.spx_color_bipartite(
+        m, _ptr(src, ctypes.c_longlong), _ptr(dst, ctypes.c_longlong),
+        int(n_src), int(n_dst), int(w), _ptr(color, ctypes.c_longlong))
+    if rc == -2:
+        return None
+    if rc != 0:
+        raise RuntimeError(f"spx_color_bipartite failed: rc={rc}")
+    return color

@@ -472,6 +472,125 @@ long long spx_select_units(const long long *j0, const long long *f,
   return nu;
 }
 
-int spx_native_abi_version() { return 4; }
+// ---------------------------------------------------------------------------
+// Bipartite multigraph edge coloring (Konig / Euler-split)
+// ---------------------------------------------------------------------------
+// Proper edge coloring of a bipartite multigraph with W colors (W a power of
+// two, max degree <= W), by recursive Euler partition: each level walks
+// maximal trails (odd-degree starts first, then circuits) assigning edges
+// alternately to two halves, so per-vertex degrees split ceil/floor; after
+// log2(W) levels every class is a matching.  Used by ops/route.py to plan
+// the static scatter-add routing network (the TPU-native replacement for
+// the serialized y-scatter of the delta path; the role of the reference's
+// sequential per-row ctl walk, src/templates/delta_tmpl.c:21-38, which a
+// CPU can do in-order but a TPU cannot).
+// Returns 0 on success, -1 on bad W, -2 if a degree exceeds W.
+long long spx_color_bipartite(long long m, const long long *src,
+                              const long long *dst, long long n_src,
+                              long long n_dst, long long W,
+                              long long *color_out) {
+  if (W <= 0 || (W & (W - 1))) return -1;
+  if (m == 0) return 0;
+  const long long n_nodes = n_src + n_dst;
+
+  // order[] holds edge ids grouped contiguously per color-range; ranges are
+  // split in place level by level.
+  std::vector<long long> order(m), tmp(m);
+  for (long long i = 0; i < m; ++i) order[i] = i;
+  std::vector<unsigned char> side(m);
+
+  struct Range {
+    long long lo, hi, color, width;
+  };
+  std::vector<Range> ranges{{0, m, 0, W}}, next;
+
+  // Per-group scratch, reset via the touched list.
+  std::vector<long long> deg(n_nodes, 0);
+  std::vector<long long> aoff(n_nodes), aend(n_nodes), aptr(n_nodes);
+  std::vector<long long> adj(2 * m);  // incident order-positions
+  std::vector<long long> touched;
+  std::vector<unsigned char> used(m);
+  touched.reserve(1 << 12);
+
+  bool first_level = true;
+  while (!ranges.empty()) {
+    next.clear();
+    for (const Range &rg : ranges) {
+      const long long lo = rg.lo, hi = rg.hi, mg = hi - lo;
+      if (mg == 0) continue;
+      if (rg.width == 1) {
+        for (long long i = lo; i < hi; ++i) color_out[order[i]] = rg.color;
+        continue;
+      }
+      // --- build adjacency over this group's edges ---
+      touched.clear();
+      for (long long i = lo; i < hi; ++i) {
+        long long e = order[i];
+        long long u = src[e], v = n_src + dst[e];
+        if (deg[u]++ == 0) touched.push_back(u);
+        if (deg[v]++ == 0) touched.push_back(v);
+      }
+      if (first_level) {
+        for (long long nd : touched)
+          if (deg[nd] > W) {
+            for (long long nd2 : touched) deg[nd2] = 0;
+            return -2;
+          }
+      }
+      long long cur = 0;
+      for (long long nd : touched) {
+        aoff[nd] = aptr[nd] = cur;
+        cur += deg[nd];
+        aend[nd] = cur;
+      }
+      for (long long i = lo; i < hi; ++i) {
+        long long e = order[i];
+        adj[aptr[src[e]]++] = i;
+        adj[aptr[n_src + dst[e]]++] = i;
+        used[i] = 0;
+      }
+      for (long long nd : touched) aptr[nd] = aoff[nd];
+
+      // --- Euler partition: walk maximal trails, alternating sides ---
+      auto walk = [&](long long start) {
+        long long at = start;
+        unsigned char s = 0;
+        for (;;) {
+          long long p = aptr[at];
+          while (p < aend[at] && used[adj[p]]) ++p;
+          aptr[at] = p;
+          if (p == aend[at]) break;
+          long long i = adj[p];
+          used[i] = 1;
+          side[i] = s;
+          s ^= 1;
+          long long e = order[i];
+          at = (at == src[e]) ? n_src + dst[e] : src[e];
+        }
+      };
+      for (long long nd : touched)
+        if (deg[nd] & 1) walk(nd);
+      for (long long nd : touched) walk(nd);  // remaining circuits
+
+      // --- stable partition by side; recurse halves ---
+      long long w0 = 0;
+      for (long long i = lo; i < hi; ++i)
+        if (side[i] == 0) tmp[lo + w0++] = order[i];
+      long long w1 = w0;
+      for (long long i = lo; i < hi; ++i)
+        if (side[i] == 1) tmp[lo + w1++] = order[i];
+      std::memcpy(&order[lo], &tmp[lo], mg * sizeof(long long));
+      next.push_back({lo, lo + w0, rg.color, rg.width / 2});
+      next.push_back({lo + w0, hi, rg.color + rg.width / 2, rg.width / 2});
+
+      for (long long nd : touched) deg[nd] = 0;
+    }
+    ranges.swap(next);
+    first_level = false;
+  }
+  return 0;
+}
+
+int spx_native_abi_version() { return 5; }
 
 }  // extern "C"

@@ -120,8 +120,9 @@ class CsxExecutor:
         arrays = dict(self.arrays)
         changed = False
 
-        # --- delta: element pages ---
+        # --- delta: element pages (x side) + scatter route (y side) ---
         dmeta_entry = None
+        dscatter_entry = None
         d = self.tables.delta
         if d is not None and d.nnz:
             rep, leftover = build_delta_pages(
@@ -141,6 +142,20 @@ class CsxExecutor:
                     arrays["delta"] = None
                 dmeta_entry = ("dpages", T, q, npages)
                 changed = True
+                # y side: route products through the static scatter network
+                # instead of the serialized XLA scatter (ops/route.py).
+                from sparsex_tpu.ops.route import build_scatter_plan
+                plan = build_scatter_plan(
+                    np.asarray(rep["rows"], dtype=np.int64),
+                    self.tables.nrows)
+                if plan is not None:
+                    dmetas, darrs, res_pos, res_dest = plan
+                    rep.pop("rows")  # never read on the routed path
+                    arrays["delta_scatter"] = {
+                        "chunks": darrs, "res_pos": res_pos,
+                        "res_dest": res_dest}
+                    dscatter_entry = ("dscatter", dmetas,
+                                      bool(res_pos.size))
 
         # --- run tables: unit-page gather plans (x-reading types only) ---
         run_meta = []
@@ -198,8 +213,8 @@ class CsxExecutor:
         meta = list(self.meta)
         meta[2] = tuple(run_meta)
         meta[3] = tuple(block_meta)
-        self._pages_meta = tuple(meta) + ((dmeta_entry,)
-                                          if dmeta_entry else ())
+        extras = [e for e in (dmeta_entry, dscatter_entry) if e]
+        self._pages_meta = tuple(meta) + tuple(extras)
 
     def _pages_active(self) -> bool:
         if _pallas_mode() is False:

@@ -300,9 +300,25 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
         np_max = max(s[-1] for s in page_sigs)
         x2 = pad_x_pages(x, ncols, q_max, np_max)
     if "dpages" in extras and "delta_pages" in arrs:
-        from sparsex_tpu.ops.pallas_kernels import delta_pages_spmv
-        acc = delta_pages_spmv(extras["dpages"], arrs["delta_pages"], x,
-                               nrows_part, ncols, acc, x2=x2)
+        from sparsex_tpu.ops.pallas_kernels import (delta_pages_products,
+                                                    delta_pages_spmv)
+        if "dscatter" in extras and "delta_scatter" in arrs:
+            # y side via the static scatter-routing network (ops/route.py)
+            # instead of the serialized XLA scatter.
+            from sparsex_tpu.ops.route import apply_scatter_plan
+            prods = delta_pages_products(extras["dpages"],
+                                         arrs["delta_pages"], x, ncols,
+                                         x2=x2)
+            ds = arrs["delta_scatter"]
+            dmetas, has_res = extras["dscatter"]
+            acc = acc + apply_scatter_plan(dmetas, ds["chunks"], prods,
+                                           nrows_part)
+            if has_res:
+                acc = acc.at[ds["res_dest"]].add(
+                    jnp.take(prods, ds["res_pos"]), mode="drop")
+        else:
+            acc = delta_pages_spmv(extras["dpages"], arrs["delta_pages"],
+                                   x, nrows_part, ncols, acc, x2=x2)
     if symmetric and "dpagesT" in extras and "delta_pages_t" in arrs:
         from sparsex_tpu.ops.pallas_kernels import delta_pages_spmv
         z = delta_pages_spmv(extras["dpagesT"], arrs["delta_pages_t"], x,

@@ -261,15 +261,21 @@ def pad_x_pages(x, ncols: int, q: int, npages: int):
     return x2.reshape(npages_pad, 8, 128)
 
 
-def delta_pages_spmv(rep_meta, rep, x, nrows_part: int, ncols: int, acc,
-                     x2=None):
-    """acc += scatter(products) for the page-bucketed delta elements."""
+def delta_pages_products(rep_meta, rep, x, ncols: int, x2=None):
+    """(T*1024,) products (value * gathered x) in tile order."""
     T, q, npages = rep_meta
     if x2 is None:
         x2 = pad_x_pages(x, ncols, q, npages)
     fn = _build_delta_kernel(T, q, str(np.dtype(x.dtype)))
-    prods = fn(rep["plo"], rep["sub"], rep["lane"], rep["vals"], x2)
-    return acc.at[rep["rows"]].add(prods.reshape(-1), mode="drop")
+    return fn(rep["plo"], rep["sub"], rep["lane"], rep["vals"],
+              x2).reshape(-1)
+
+
+def delta_pages_spmv(rep_meta, rep, x, nrows_part: int, ncols: int, acc,
+                     x2=None):
+    """acc += scatter(products) for the page-bucketed delta elements."""
+    prods = delta_pages_products(rep_meta, rep, x, ncols, x2=x2)
+    return acc.at[rep["rows"]].add(prods, mode="drop")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,308 @@
+"""Static scatter-add routing network (the TPU answer to arbitrary scatter).
+
+The delta path's y-side used to be an XLA scatter-add at the measured
+~6.8 ns/element serial floor (92% of headline SpMV runtime for 9% of the
+nnz).  But the destinations are known at build time, so the scatter is a
+*fixed* routing problem: this module compiles it into a Clos-style routing
+network of five within-row lane gathers (each vectorized by Mosaic's
+VREG ``take_along_axis``) interleaved with XLA transposes — every pass is
+HBM-bandwidth-bound, nothing is serialized.
+
+Construction (host side, per matrix): elements live in a (rows, 128) grid;
+a proper edge coloring of the bipartite multigraph {source row -> dest
+page} with 128 colors (Konig via Euler splits, ``native.color_bipartite``)
+assigns each element a conflict-free wire through the network:
+
+    G1   within-row:  element -> lane = outer color c
+    T1   transpose:   rows become colors, lanes become source rows
+    g2a/g2b/g2c       the middle stage (route color-c's elements to their
+                      dest page) recursed once with an inner coloring, so
+                      every gather stays within 128 lanes
+    T2   transpose:   rows become dest pages, lanes become colors
+    G3   within-row:  lane = dest slot; K-fold gather resolves multiple
+                      elements per destination (summed in VMEM)
+
+Index entries of -1 emit an exact 0 (masked gather), so empty wires carry
+nothing and source padding is never read.  Capacity: 128 elements per dest
+page per network instance — higher multiplicities run extra instances
+("folds", partitioned by within-page rank) that are summed; per-slot
+multiplicity beyond ``max_k`` within a fold goes to a (tiny) XLA-scatter
+residual.  n_dest <= 16384*128 (~2.1M rows) per partition; source elements
+are chunked at ~2.1M per pipeline pass.
+
+Reference role anchor: ``src/templates/delta_tmpl.c:21-38`` (the leftover-
+singles inner loop, which a CPU walks sequentially per row); the measured
+TPU floors in DESIGN.md motivate replacing the scatter entirely.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+L = 128
+MAX_DEST_ROWS = 16384           # D' cap: n_dest <= 2,097,152
+CHUNK_SRC_ROWS = 16384          # source rows per pipeline chunk
+MAX_FOLDS = 8                   # network instances per chunk
+MIN_ELEMS = 1 << 15             # below this the XLA scatter is cheaper
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _rank_within(keys: np.ndarray) -> np.ndarray:
+    """Stable rank of each element among equal keys (0-based)."""
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    rank = np.arange(ks.size) - np.searchsorted(ks, ks)
+    out = np.empty(keys.size, dtype=np.int64)
+    out[order] = rank
+    return out
+
+
+def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
+                       min_elems: int = None):
+    """Plan the routing network for ``out[d] += src[e]`` over all e with
+    ``dest[e] == d``.
+
+    ``dest``: (M,) int; entries outside [0, n_dest) mark padding (those
+    source lanes are never read).  M must be a multiple of 128.
+
+    Returns ``(metas, arrays, res_pos, res_dest)`` — per-instance static
+    metas + index-array pytrees, plus residual element positions and
+    destinations that exceeded network capacity (route those few via
+    ``.at[].add``) — or None when the layout is not applicable.
+    """
+    from sparsex_tpu import native
+
+    if min_elems is None:
+        min_elems = MIN_ELEMS
+    dest = np.asarray(dest)
+    M = dest.size
+    if M % L or n_dest <= 0:
+        return None
+    Dq = -(-n_dest // L)
+    if Dq > MAX_DEST_ROWS:
+        return None
+    valid_all = (dest >= 0) & (dest < n_dest)
+    n_valid = int(valid_all.sum())
+    if n_valid < min_elems:
+        return None
+
+    S1_total = M // L
+    D2R = -(-Dq // L)
+    Dp = max(_ceil_to(Dq, 64), 64)
+
+    metas: List[Tuple] = []
+    arrays: List[Dict[str, np.ndarray]] = []
+    res_pos_all: List[np.ndarray] = []
+
+    for a0 in range(0, S1_total, CHUNK_SRC_ROWS):
+        a1 = min(S1_total, a0 + CHUNK_SRC_ROWS)
+        e0, e1 = a0 * L, a1 * L
+        dch = dest[e0:e1].astype(np.int64)
+        pos0 = np.flatnonzero(valid_all[e0:e1])
+        dv = dch[pos0]
+        pages = dv // L
+
+        fold = _rank_within(pages) // L
+        res = fold >= MAX_FOLDS
+        S1c = a1 - a0
+        S1p = _ceil_to(S1c, L)
+        A2R = S1p // L
+
+        for f in range(int(fold.max()) + 1 if fold.size else 0):
+            if f >= MAX_FOLDS:
+                break
+            sel = np.flatnonzero(fold == f)
+            pos = pos0[sel]
+            d = dv[sel]
+            kf = _rank_within(d)
+            over = kf >= max_k
+            if over.any():
+                res_idx = sel[over]
+                res[res_idx] = True
+                keep = ~over
+                pos, d, kf = pos[keep], d[keep], kf[keep]
+            if pos.size == 0:
+                continue
+            K = int(kf.max()) + 1
+
+            a = pos // L                    # source row (chunk-local)
+            lane_src = pos % L
+            page = d // L
+            j = d % L
+
+            # --- outer coloring: source rows x dest pages, 128 colors ---
+            c = native.color_bipartite(a, page, S1c, Dq, L)
+            if c is None:  # cannot happen (degrees <= 128 by build)
+                return None
+            dsr = page // L
+            asr = a // L
+            # --- inner coloring: disjoint union over outer colors; the
+            # color count W2 (a power of two >= the max inner degree) sets
+            # the middle-grid row count L*W2, so lightly-loaded networks
+            # stay small ---
+            key_src = c * A2R + asr
+            key_dst = c * D2R + dsr
+            deg = max(int(np.bincount(key_src, minlength=1).max()),
+                      int(np.bincount(key_dst, minlength=1).max()))
+            W2 = 1 << max(int(np.ceil(np.log2(max(deg, 1)))), 0)
+            W2 = min(max(W2, 8), L)
+            c2 = native.color_bipartite(key_src, key_dst,
+                                        L * A2R, L * D2R, W2)
+            if c2 is None:
+                return None
+
+            # --- index arrays; -1 = masked (emit 0) ---
+            g1 = np.full((S1p, L), -1, dtype=np.int32)
+            g1[a, c] = lane_src.astype(np.int32)
+            g2a = np.full((L * A2R, L), -1, dtype=np.int32)
+            g2a[c * A2R + asr, c2] = (a % L).astype(np.int32)
+            g2b = np.full((L * W2, L), -1, dtype=np.int32)
+            g2b[c * W2 + c2, dsr] = asr.astype(np.int32)
+            g2c = np.full((L * D2R, L), -1, dtype=np.int32)
+            g2c[c * D2R + dsr, page % L] = c2.astype(np.int32)
+            g3 = np.full((K, Dp, L), -1, dtype=np.int32)
+            g3[kf, page, j] = c.astype(np.int32)
+
+            metas.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1))
+            arrays.append({"g1": g1, "g2a": g2a, "g2b": g2b, "g2c": g2c,
+                           "g3": g3})
+        res_pos_all.append(pos0[res] + e0)
+
+    res_pos = (np.concatenate(res_pos_all) if res_pos_all
+               else np.zeros(0, dtype=np.int64))
+    if res_pos.size > n_valid // 4:
+        return None  # too much residual: the plan would not pay off
+    res_dest = dest[res_pos].astype(np.int32)
+    return tuple(metas), arrays, res_pos.astype(np.int32), res_dest
+
+
+# ---------------------------------------------------------------------------
+# apply: the 5-gather/2-transpose pipeline (numpy oracle + traced versions)
+# ---------------------------------------------------------------------------
+def _take_masked_np(x: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    g = np.take_along_axis(x, np.maximum(idx, 0).astype(np.int64), axis=1)
+    return np.where(idx >= 0, g, np.zeros((), dtype=x.dtype))
+
+
+def _route_instance_np(src2d, arrs, meta):
+    """NumPy reference of one instance's pipeline (tests / verification)."""
+    S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1 = meta
+    A0 = np.zeros((S1p, L), dtype=src2d.dtype)
+    A0[:S1c] = src2d
+    A1 = _take_masked_np(A0, arrs["g1"])
+    B = A1.T.reshape(L, A2R, L)                       # rows c, (asr, a%128)
+    C1 = _take_masked_np(B.reshape(L * A2R, L), arrs["g2a"])
+    C2 = np.transpose(C1.reshape(L, A2R, L), (0, 2, 1))[:, :W2]
+    C2p = np.zeros((L, W2, L), dtype=src2d.dtype)
+    C2p[:, :, :A2R] = C2                              # rows (c, c2)
+    D1 = _take_masked_np(C2p.reshape(L * W2, L), arrs["g2b"])
+    D2 = np.transpose(D1.reshape(L, W2, L)[:, :, :D2R], (0, 2, 1))
+    if W2 == L:
+        D2p = D2
+    else:
+        D2p = np.zeros((L, D2R, L), dtype=src2d.dtype)
+        D2p[:, :, :W2] = D2                           # rows (c, dsr)
+    E1 = _take_masked_np(D2p.reshape(L * D2R, L), arrs["g2c"])
+    E2 = E1.reshape(L, D2R * L)[:, :Dp].T             # rows p, lane c
+    out = sum(_take_masked_np(E2, arrs["g3"][k])
+              for k in range(arrs["g3"].shape[0]))
+    return out.reshape(-1)
+
+
+def apply_scatter_plan_np(metas, arrays, src: np.ndarray,
+                          n_dest: int) -> np.ndarray:
+    y = np.zeros(n_dest, dtype=src.dtype)
+    for meta, arrs in zip(metas, arrays):
+        S1c, a0 = meta[0], meta[-2]
+        a1 = meta[-1]
+        src2d = src[a0 * L: a1 * L].reshape(S1c, L)
+        y = y + _route_instance_np(src2d, arrs, meta)[:n_dest]
+    return y
+
+
+@functools.lru_cache(maxsize=256)
+def _build_lane_gather(R: int, K: int, dtype_str: str):
+    """Pallas kernel: out[r, j] = sum_k masked(x[r, idx[k, r, j]]).
+
+    Each (64, 128) block is gathered lane-wise by Mosaic's per-sublane
+    ``take_along_axis`` — the only vectorized gather on TPU (DESIGN.md);
+    idx < 0 contributes an exact 0.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = jnp.dtype(dtype_str)
+    BR = 64
+    assert R % BR == 0
+
+    def kernel(x_ref, idx_ref, out_ref):
+        x = x_ref[...]
+        acc = jnp.zeros((BR, L), dtype=dtype)
+        for k in range(K):
+            idx = idx_ref[k]
+            g = jnp.take_along_axis(x, jnp.maximum(idx, 0), axis=1)
+            acc = acc + jnp.where(idx >= 0, g, jnp.zeros((), dtype))
+        out_ref[...] = acc
+
+    return pl.pallas_call(
+        kernel,
+        grid=(R // BR,),
+        in_specs=[
+            pl.BlockSpec((BR, L), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, BR, L), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BR, L), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, L), dtype),
+    )
+
+
+def apply_scatter_plan(metas, arrays, src, n_dest: int):
+    """Traced routing apply: dense (n_dest,) = scatter-add of ``src``.
+
+    ``src``: (M,) flat source values.  Padding/residual lanes are never
+    read (masked indices), so no zeroing is required.
+    """
+    import jax.numpy as jnp
+
+    dt = str(np.dtype(src.dtype))
+
+    def take2(x, idx):
+        idx = jnp.asarray(idx)
+        if idx.ndim == 2:
+            idx = idx[None]
+        return _build_lane_gather(int(x.shape[0]), int(idx.shape[0]),
+                                  dt)(x, idx)
+
+    y = None
+    for meta, arrs in zip(metas, arrays):
+        S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1 = meta
+        src2d = src[a0 * L: a1 * L].reshape(S1c, L)
+        A0 = jnp.zeros((S1p, L), dtype=src2d.dtype).at[:S1c].set(src2d)
+        A1 = take2(A0, arrs["g1"])
+        B = A1.T.reshape(L, A2R, L)
+        C1 = take2(B.reshape(L * A2R, L), arrs["g2a"])
+        C2 = jnp.transpose(C1.reshape(L, A2R, L), (0, 2, 1))[:, :W2]
+        C2p = jnp.zeros((L, W2, L), dtype=src2d.dtype).at[:, :, :A2R].set(C2)
+        D1 = take2(C2p.reshape(L * W2, L), arrs["g2b"])
+        D2 = jnp.transpose(D1.reshape(L, W2, L)[:, :, :D2R], (0, 2, 1))
+        if W2 == L:
+            D2p = D2
+        else:
+            D2p = jnp.zeros((L, D2R, L),
+                            dtype=src2d.dtype).at[:, :, :W2].set(D2)
+        E1 = take2(D2p.reshape(L * D2R, L), arrs["g2c"])
+        E2 = E1.reshape(L, D2R * L)[:, :Dp].T
+        part = take2(E2, jnp.asarray(arrs["g3"])).reshape(-1)
+        y = part if y is None else y + part
+    return y[:n_dest]

@@ -1,0 +1,183 @@
+"""Static scatter-routing network tests (ops/route.py).
+
+The route replaces the serialized XLA y-scatter of the delta path
+(reference role: the per-row sequential ctl walk of
+``src/templates/delta_tmpl.c:21-38``).  Oracle: numpy bincount scatter-add.
+"""
+
+import numpy as np
+import pytest
+
+from sparsex_tpu import native
+from sparsex_tpu.ops import route
+
+
+def _oracle(dest, src, n_dest):
+    valid = (dest >= 0) & (dest < n_dest)
+    return np.bincount(dest[valid], weights=src[valid],
+                       minlength=n_dest).astype(src.dtype)
+
+
+def _run_np(dest, src, n_dest, **kw):
+    plan = route.build_scatter_plan(dest, n_dest, **kw)
+    assert plan is not None
+    metas, arrays, res_pos, res_dest = plan
+    # padding/residual lanes are never read: poison them to prove it
+    poisoned = src.copy()
+    valid = (dest >= 0) & (dest < n_dest)
+    poisoned[~valid] = 1e30
+    y = route.apply_scatter_plan_np(metas, arrays, poisoned, n_dest)
+    np.add.at(y, res_dest, src[res_pos])
+    return y, plan
+
+
+# ---------------------------------------------------------------------------
+# edge coloring
+# ---------------------------------------------------------------------------
+def _check_coloring(src, dst, w, color):
+    assert color.min() >= 0 and color.max() < w
+    assert np.unique(np.stack([src, color]), axis=1).shape[1] == src.size
+    assert np.unique(np.stack([dst, color]), axis=1).shape[1] == src.size
+
+
+@pytest.mark.parametrize("m,ns,nd,w,seed", [
+    (200, 5, 9, 32, 0), (5000, 64, 48, 128, 1), (64, 1, 64, 64, 2)])
+def test_color_bipartite(m, ns, nd, w, seed):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, ns, m)
+    dst = rng.integers(0, nd, m)
+    keep = np.ones(m, bool)
+    for arr in (src, dst):
+        order = np.argsort(arr, kind="stable")
+        s = arr[order]
+        rank = np.arange(m) - np.searchsorted(s, s)
+        keep[order[rank >= w]] = False
+    src, dst = src[keep], dst[keep]
+    color = native.color_bipartite(src, dst, ns, nd, w)
+    assert color is not None
+    _check_coloring(src, dst, w, color)
+    # python fallback agrees on validity
+    c2 = native._color_bipartite_py(src, dst, ns, nd, w)
+    _check_coloring(src, dst, w, c2)
+
+
+def test_color_bipartite_degree_overflow():
+    src = np.zeros(65, np.int64)
+    dst = np.arange(65, dtype=np.int64)
+    assert native.color_bipartite(src, dst, 1, 65, 64) is None
+
+
+# ---------------------------------------------------------------------------
+# planner + numpy pipeline vs oracle
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("M,n_dest,invalid_frac,seed", [
+    (128 * 64, 5_000, 0.05, 0),
+    (128 * 64, 5_000, 0.5, 1),       # half padding
+    (128 * 300, 150_000, 0.0, 2),    # sparse destinations
+    (128 * 40, 700, 0.1, 3),         # dense: multiple folds + K layers
+])
+def test_route_np_oracle(M, n_dest, invalid_frac, seed):
+    rng = np.random.default_rng(seed)
+    dest = rng.integers(0, n_dest, M)
+    inv = rng.random(M) < invalid_frac
+    dest[inv] = -1
+    src = rng.standard_normal(M).astype(np.float32)
+    src[inv] = 0.0
+    y, plan = _run_np(dest, src, n_dest, min_elems=64)
+    ref = _oracle(dest, src, n_dest)
+    err = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-30)
+    assert err < 1e-6
+
+
+def test_route_empty_rows_and_clustered_dest():
+    # all elements land in a narrow dest band; the rest of y stays zero
+    rng = np.random.default_rng(4)
+    M, n_dest = 128 * 16, 100_000
+    dest = rng.integers(1000, 1000 + 4096, M)
+    src = rng.standard_normal(M).astype(np.float32)
+    y, plan = _run_np(dest, src, n_dest, min_elems=64)
+    ref = _oracle(dest, src, n_dest)
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-6
+    assert np.all(y[:1000] == 0) and np.all(y[1000 + 4096:] == 0)
+
+
+def test_route_refuses_tiny_and_giant():
+    dest = np.arange(128, dtype=np.int64)
+    assert route.build_scatter_plan(dest, 1000) is None  # < min_elems
+    # n_dest beyond the network capacity
+    dest = np.arange(128 * 512, dtype=np.int64)
+    assert route.build_scatter_plan(
+        dest, route.MAX_DEST_ROWS * 128 + 1, min_elems=64) is None
+
+
+def test_route_extreme_skew_falls_back():
+    # everything on a handful of slots: beyond fold capacity -> None
+    dest = np.zeros(128 * 512, dtype=np.int64)
+    assert route.build_scatter_plan(dest, 10_000, min_elems=64) is None
+
+
+# ---------------------------------------------------------------------------
+# Pallas lane-gather kernel (interpret mode; the TPU path is identical)
+# ---------------------------------------------------------------------------
+def test_route_apply_interpret():
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(5)
+    M, n_dest = 128 * 24, 2_000
+    dest = rng.integers(0, n_dest, M)
+    inv = rng.random(M) < 0.1
+    dest[inv] = n_dest
+    src = rng.standard_normal(M).astype(np.float32)
+    src[inv] = 1e30  # must never be read
+    plan = route.build_scatter_plan(dest, n_dest, min_elems=64)
+    assert plan is not None
+    metas, arrays, res_pos, res_dest = plan
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(route.apply_scatter_plan(
+            metas, arrays, jnp.asarray(src), n_dest))
+    np.add.at(y, res_dest, src[res_pos])
+    ref = _oracle(dest, src, n_dest)
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_executor_route_interpret(monkeypatch):
+    """End-to-end: executor picks the routed delta path (pages + route)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    import sparsex_tpu.ops.exec as exec_mod
+    import sparsex_tpu.ops.pallas_kernels as pk
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+    from sparsex_tpu.ops import route as route_mod
+
+    monkeypatch.setattr(pk, "MIN_PAGE_NNZ", 64)
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    monkeypatch.setattr(route_mod, "MIN_ELEMS", 64)
+    cfg = Config.reset()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.preproc.xform", "none")  # keep everything on the delta path
+
+    rng = np.random.default_rng(6)
+    n, m = 4096, 6000
+    rows = rng.integers(0, n, m)
+    cols = rng.integers(0, n, m)
+    key = rows * n + cols
+    _, uniq = np.unique(key, return_index=True)
+    rows, cols = rows[uniq], cols[uniq]
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    ex = mat.executors[0]
+    with pltpu.force_tpu_interpret_mode():
+        assert ex._pages_active()
+        assert any(e and e[0] == "dscatter" for e in ex._pages_meta[5:]), \
+            "route plan not built"
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(ex(jnp.asarray(x)))
+    ref = np.zeros(n, np.float32)
+    np.add.at(ref, rows, vals * x[cols])
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
