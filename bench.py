@@ -13,13 +13,16 @@ inside one jit (a ``lax.scan`` with a data dependency between iterations so
 nothing can be elided), each synced by fetching one element; per-iteration
 time = (t(4K) - t(K)) / 3K, which cancels the RTT and dispatch constants.
 
-The headline metric is nnz/s on a large structured matrix (banded diagonals
-+ random singles — exercises the DIA and delta execution classes, the two
-that dominate real SpMV workloads).  ``vs_baseline``
-is measured against the BASELINE.md target: >= 85% of the HBM speed-of-light
-nnz/s for the compressed footprint (SoL = bytes_touched / measured peak HBM
-bandwidth), i.e. vs_baseline = achieved_fraction / 0.85 — 1.0 meets the
-target.
+Two workloads, so the driver captures every execution class each round:
+- **headline**: banded diagonals + 10% random singles (DIA + the routed
+  delta path — the scatter-free routing network of ``ops/route.py``).
+- **blocky**: dense 4x2 blocks + horizontal runs + singles (block einsum +
+  unit-page gathers + delta).
+
+``vs_baseline`` is measured against the BASELINE.md target: >= 85% of the
+HBM speed-of-light nnz/s for the *compressed footprint* (SoL =
+ideal_bytes / measured peak HBM bandwidth) — the honest denominator now
+that the serialized-scatter floor is gone.  1.0 means the target is met.
 """
 
 import json
@@ -33,6 +36,7 @@ import numpy as np
 LOOPS = int(os.environ.get("LOOPS", "128"))
 OUTER_LOOPS = int(os.environ.get("OUTER_LOOPS", "5"))
 N = int(os.environ.get("BENCH_N", str(1 << 20)))
+N_BLOCKY = int(os.environ.get("BENCH_N_BLOCKY", str(1 << 19)))
 
 
 def log(msg):
@@ -40,24 +44,51 @@ def log(msg):
 
 
 def build_matrix(n):
+    """Headline: 5 dense diagonals + ~10% random singles."""
     rng = np.random.default_rng(0)
     rows, cols = [], []
     for b in (0, 1, -1, 8, -13):
         r = np.arange(max(0, -b), min(n, n - b), dtype=np.int64)
         rows.append(r)
         cols.append(r + b)
-    # random singles, ~10% of nnz
     m = n // 2
     rows.append(rng.integers(0, n, size=m))
     cols.append(rng.integers(0, n, size=m))
-    rows = np.concatenate(rows)
-    cols = np.concatenate(cols)
+    return _dedup_sort(np.concatenate(rows), np.concatenate(cols), n)
+
+
+def build_blocky_matrix(n):
+    """Blocky: 4x2 dense blocks + horizontal runs (w=8) + singles."""
+    rng = np.random.default_rng(7)
+    rows, cols = [], []
+    # 4x2 blocks at random aligned anchors
+    nb = n // 8
+    br0 = rng.integers(0, (n - 4) // 4, size=nb) * 4
+    bc0 = rng.integers(0, (n - 2) // 2, size=nb) * 2
+    ii, jj = np.meshgrid(np.arange(4), np.arange(2), indexing="ij")
+    rows.append((br0[:, None, None] + ii[None]).ravel())
+    cols.append((bc0[:, None, None] + jj[None]).ravel())
+    # horizontal runs of length 8
+    nh = n // 4
+    hr = rng.integers(0, n, size=nh)
+    hc = rng.integers(0, n - 8, size=nh)
+    rows.append(np.repeat(hr, 8))
+    cols.append((hc[:, None] + np.arange(8)[None]).ravel())
+    # singles
+    m = n // 4
+    rows.append(rng.integers(0, n, size=m))
+    cols.append(rng.integers(0, n, size=m))
+    return _dedup_sort(np.concatenate(rows), np.concatenate(cols), n)
+
+
+def _dedup_sort(rows, cols, n):
     key = rows * n + cols
     _, uniq = np.unique(key, return_index=True)
     rows, cols = rows[uniq], cols[uniq]
     order = np.lexsort((cols, rows))
     rows, cols = rows[order], cols[order]
-    vals = rng.standard_normal(rows.size).astype(np.float32) * 0.1
+    vals = np.random.default_rng(1).standard_normal(
+        rows.size).astype(np.float32) * 0.1
     return rows, cols, vals
 
 
@@ -83,37 +114,6 @@ def _slope_time(make_fn, k1: int, k2: int, outer: int):
     return max(t2 - t1, 1e-9) / (k2 - k1), t1, t2
 
 
-def measure_scatter_ns(m=1 << 20):
-    """Measured per-element cost of an arbitrary scatter-add — the one op
-    the leftover-singles path cannot avoid on TPU (the x-side gather is
-    eliminated by the page-bucketed Pallas kernel, but products must still
-    land on arbitrary output rows; TPU serializes arbitrary scatters).
-    ``m`` should match the workload's scatter size (per-element overhead is
-    size-dependent)."""
-    import jax
-    import jax.numpy as jnp
-
-    n = 1 << 20
-    rng = np.random.default_rng(2)
-    idx = jnp.asarray(rng.integers(0, n, m), dtype=jnp.int32)
-    vals = jnp.asarray(rng.standard_normal(m), dtype=jnp.float32)
-
-    def make(k):
-        @jax.jit
-        def rep():
-            def body(c, _):
-                y = jnp.zeros(n, jnp.float32).at[idx].add(
-                    vals * c[0], mode="drop")
-                return c * 0.999 + y[:1] * 1e-9, ()
-            c, _ = jax.lax.scan(body, jnp.ones(1, jnp.float32), None,
-                                length=k)
-            return c
-        return lambda: rep()
-
-    per_iter, _, _ = _slope_time(make, 4, 16, 3)
-    return per_iter / m * 1e9
-
-
 def measure_hbm_bw():
     """Peak achievable HBM bandwidth via a chained triad (read 2, write 1)."""
     import jax
@@ -137,46 +137,42 @@ def measure_hbm_bw():
     return 3 * nbytes / per_iter
 
 
-def main():
+def bench_workload(name, n, rows, cols, vals):
+    """Tune + time one matrix; returns a metrics dict."""
     import jax
     import jax.numpy as jnp
 
-    dev = jax.devices()[0]
-    log(f"device: {dev} platform={dev.platform}")
-
-    from sparsex_tpu.config import Config
     from sparsex_tpu.csx import CsxMatrix
-    from sparsex_tpu.ops.exec import _compiled, _resolve_use_pallas, _static_meta
+    from sparsex_tpu.ops.exec import _compiled, _resolve_use_pallas
 
-    cfg = Config.reset()
-    cfg.set("spx.tpu.value_dtype", "float32")
-    cfg.set("spx.preproc.xform", "all")
-    cfg.set("spx.preproc.sampling", "portion")
-
-    rows, cols, vals = build_matrix(N)
     nnz = rows.size
-    log(f"matrix: {N}x{N}, nnz={nnz}")
-
+    log(f"[{name}] matrix: {n}x{n}, nnz={nnz}")
     t0 = time.perf_counter()
-    mat = CsxMatrix.from_coo(N, N, rows, cols, vals)
-    pt = time.perf_counter() - t0
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
     tables = mat.shards[0]
-    csx_bytes = mat.csx_size()
-    log(f"pt={pt:.2f}s csx_size={csx_bytes / 1e6:.1f}MB "
-        f"({csx_bytes / nnz:.2f} B/nnz; csr would be "
-        f"{(8 * nnz + 4 * (N + 1)) / nnz:.2f} B/nnz in f32+i32)")
-    log(f"tables: delta_nnz={tables.delta.nnz} "
-        f"runs={[(t.enc.name, t.delta, t.width, t.rows.size) for t in tables.runs]} "
-        f"blocks={[(t.enc.name, t.br, t.bc, t.rows.size) for t in tables.blocks]}")
-
     ex = mat.executors[0]
     meta, arrays = ex.meta, ex.arrays
-    if ex._pages_active():  # reorganize delta into the Pallas page layout
+    if ex._pages_active():  # build page/route layouts inside pt, like tune
         meta, arrays = ex._pages_meta, ex._pages_arrays
-        log(f"delta-pages layout: T={meta[5][1]} q={meta[5][2]}")
+    pt = time.perf_counter() - t0
+    csx_bytes = mat.csx_size()
+    log(f"[{name}] pt={pt:.2f}s csx_size={csx_bytes / 1e6:.1f}MB "
+        f"({csx_bytes / nnz:.2f} B/nnz; csr would be "
+        f"{(8 * nnz + 4 * (n + 1)) / nnz:.2f} B/nnz in f32+i32)")
+    log(f"[{name}] tables: delta_nnz={tables.delta.nnz} "
+        f"runs={[(t.enc.name, t.delta, t.width, t.rows.size) for t in tables.runs]} "
+        f"blocks={[(t.enc.name, t.br, t.bc, t.rows.size) for t in tables.blocks]}")
+    extras = {e[0]: e[1:] for e in meta[5:] if e}
+    if "dpages" in extras:
+        log(f"[{name}] delta-pages T={extras['dpages'][0]} "
+            f"q={extras['dpages'][1]}"
+            + (f"; route instances={len(extras['dscatter'][0])} "
+               f"K={[m[5] for m in extras['dscatter'][0]]}"
+               if "dscatter" in extras else "; XLA scatter"))
+
     arrays = jax.device_put(arrays)
     spmv = _compiled(meta, "float32", _resolve_use_pallas(tables))
-    zeros = jnp.zeros(N, dtype=jnp.float32)
+    zeros = jnp.zeros(n, dtype=jnp.float32)
 
     def make(k):
         @jax.jit
@@ -192,43 +188,66 @@ def main():
             return y
         return lambda: chained(arrays, x)
 
-    x = jnp.asarray(np.random.default_rng(1).standard_normal(N),
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(n),
                     dtype=jnp.float32)
-    t0 = time.perf_counter()
     per_iter, t_k1, t_k2 = _slope_time(make, LOOPS // 4, LOOPS, OUTER_LOOPS)
-    log(f"timing: t({LOOPS // 4})={t_k1:.4f}s t({LOOPS})={t_k2:.4f}s "
-        f"-> {per_iter * 1e6:.1f} us/SpMV")
+    log(f"[{name}] timing: t({LOOPS // 4})={t_k1:.4f}s "
+        f"t({LOOPS})={t_k2:.4f}s -> {per_iter * 1e6:.1f} us/SpMV")
+    return {
+        "nnz": nnz,
+        "nnz_per_s": nnz / per_iter,
+        "mflops": 2 * nnz / (1e6 * per_iter),
+        "us_per_spmv": per_iter * 1e6,
+        "pt_s": pt,
+        "csx_bytes": csx_bytes,
+        # ideal one-pass traffic: compressed tables + x read + y write +
+        # the renormalization chain (2 extra row passes)
+        "ideal_bytes": csx_bytes + 4 * n * 4,
+    }
 
-    nnz_per_s = nnz / per_iter
-    mflops = 2 * nnz / (1e6 * per_iter)
+
+def main():
+    import jax
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} platform={dev.platform}")
+
+    from sparsex_tpu.config import Config
+
+    cfg = Config.reset()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.preproc.xform", "all")
+    cfg.set("spx.preproc.sampling", "portion")
+
+    head = bench_workload("headline", N, *build_matrix(N))
+    blocky = bench_workload("blocky", N_BLOCKY, *build_blocky_matrix(N_BLOCKY))
 
     bw = measure_hbm_bw()
-    delta_nnz_probe = max(1 << 16, sum(t.delta.nnz for t in mat.shards))
-    scatter_ns = measure_scatter_ns(m=delta_nnz_probe)
-    log(f"measured HBM BW (triad): {bw / 1e9:.0f} GB/s; "
-        f"scatter floor: {scatter_ns:.1f} ns/element")
-    # Machine roofline = HBM term + serial-scatter term.  The HBM term is
-    # one pass over the compressed tables + x read + y write +
-    # renormalization; the scatter term is the measured per-element cost of
-    # the arbitrary scatter-add that the leftover-singles (delta) path
-    # cannot avoid on TPU (the x-side gather is done at VREG speed by the
-    # page-bucketed Pallas kernel).
-    bytes_per_iter = csx_bytes + 4 * N * 4
-    delta_nnz = sum(t.delta.nnz for t in mat.shards)
-    t_roofline = bytes_per_iter / bw + delta_nnz * scatter_ns * 1e-9
-    sol_nnz_per_s = nnz / t_roofline
-    hbm_only = nnz / (bytes_per_iter / bw)
-    frac = nnz_per_s / sol_nnz_per_s
-    log(f"achieved: {nnz_per_s / 1e9:.2f} Gnnz/s = {mflops:.0f} MFLOPS; "
-        f"roofline {sol_nnz_per_s / 1e9:.2f} Gnnz/s "
-        f"(HBM-only SoL {hbm_only / 1e9:.2f}) -> {100 * frac:.1f}% of "
-        f"roofline")
+    sol = head["ideal_bytes"] / bw
+    hbm_sol_nnz = head["nnz"] / sol
+    frac = head["nnz_per_s"] / hbm_sol_nnz
+    log(f"measured HBM BW (triad): {bw / 1e9:.0f} GB/s")
+    log(f"headline: {head['nnz_per_s'] / 1e9:.2f} Gnnz/s "
+        f"({head['mflops']:.0f} MFLOPS); HBM-only speed of light "
+        f"{hbm_sol_nnz / 1e9:.2f} Gnnz/s -> {100 * frac:.1f}% of SoL")
+    log(f"blocky:   {blocky['nnz_per_s'] / 1e9:.2f} Gnnz/s "
+        f"({blocky['mflops']:.0f} MFLOPS)")
 
     print(json.dumps({
         "metric": "csx_spmv_nnz_per_s",
-        "value": nnz_per_s,
+        "value": head["nnz_per_s"],
         "unit": "nnz/s",
+        # BASELINE.md: >= 85% of HBM-only speed-of-light nnz/s
         "vs_baseline": frac / 0.85,
+        "extra": {
+            "headline_us_per_spmv": head["us_per_spmv"],
+            "headline_pt_s": head["pt_s"],
+            "headline_hbm_sol_frac": frac,
+            "blocky_nnz_per_s": blocky["nnz_per_s"],
+            "blocky_us_per_spmv": blocky["us_per_spmv"],
+            "blocky_pt_s": blocky["pt_s"],
+            "hbm_bw_gbps": bw / 1e9,
+        },
     }))
 
 

@@ -206,7 +206,10 @@ def matvec_kernel(alpha: float, mat: Matrix, x, beta: float, y):
     return mat.csx.matvec(x, alpha=alpha, beta=beta, y=y)
 
 
-_csr_cache = {}
+from collections import OrderedDict as _OrderedDict
+
+_csr_cache = _OrderedDict()
+_CSR_CACHE_MAX = 16
 
 
 def matvec_kernel_csr(rowptr, colind, values, nrows, ncols,
@@ -218,6 +221,10 @@ def matvec_kernel_csr(rowptr, colind, values, nrows, ncols,
     keep the buffers alive); to make that safe in Python — where ``id()``
     values are recycled after GC — the cache entry holds strong references
     to the keyed buffers, so a cached id can never alias a freed matrix.
+    LRU-bounded at ``_CSR_CACHE_MAX`` tuned matrices so a long-running
+    process churning through matrices does not leak them; call
+    :func:`matvec_kernel_csr_invalidate` to drop entries eagerly (the
+    role of the reference's destroy path).
     """
     key = (id(rowptr), id(colind), id(values), nrows, ncols)
     entry = _csr_cache.get(key)
@@ -225,4 +232,20 @@ def matvec_kernel_csr(rowptr, colind, values, nrows, ncols,
         inp = input_load_csr(rowptr, colind, values, nrows, ncols)
         entry = (mat_tune(inp), rowptr, colind, values)
         _csr_cache[key] = entry
+        while len(_csr_cache) > _CSR_CACHE_MAX:
+            _csr_cache.popitem(last=False)
+    else:
+        _csr_cache.move_to_end(key)
     return matvec_kernel(alpha, entry[0], x, beta, y)
+
+
+def matvec_kernel_csr_invalidate(rowptr=None, colind=None, values=None):
+    """Drop cached tuned matrices for the given CSR buffers (all three
+    None = clear the whole cache)."""
+    if rowptr is None and colind is None and values is None:
+        _csr_cache.clear()
+        return
+    ids = (id(rowptr), id(colind), id(values))
+    for key in [k for k in _csr_cache
+                if (k[0], k[1], k[2]) == ids]:
+        del _csr_cache[key]

@@ -65,7 +65,12 @@ class CsxMatrix:
         rows, cols = take1(rows, order), take1(cols, order)
         vals = take1(vals, order)
         bounds = np.searchsorted(rows, part.row_start + [nrows])
-        for i in range(nparts):
+
+        # Per-shard encoding fans out over a thread pool, mirroring the
+        # reference's PreprocessThread-per-partition design
+        # (``CsxBuild.hpp:290-341``); the hot loops are native C++ and
+        # NumPy, which release the GIL, so pt stays ~flat in shard count.
+        def _encode(i):
             lo, hi = bounds[i], bounds[i + 1]
             r0 = part.row_start[i]
             enc = Encoder(part.row_end[i] - r0, ncols,
@@ -73,6 +78,17 @@ class CsxMatrix:
                           config=cfg)
             enc.encode()
             tables = enc.finalize(row_start=r0)
+            return i, lo, hi, r0, enc, tables
+
+        if nparts == 1:
+            results = [_encode(0)]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            import os as _os
+            workers = min(nparts, max(1, _os.cpu_count() or 1))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                results = list(pool.map(_encode, range(nparts)))
+        for i, lo, hi, r0, enc, tables in results:
             mat.shards.append(tables)
             mat.executors.append(CsxExecutor(tables))
             log_info("shard %d: rows [%d,%d) nnz=%d encodings=%s "
@@ -226,11 +242,21 @@ class CsxMatrix:
         else:
             u, i, j = idx
             t.vals[u, i, j] = value
-        self._refresh_executors()
+        self._refresh_executors(self._find_shard(row))
 
-    def _refresh_executors(self) -> None:
-        """Rebuild executor array views after a value mutation."""
-        self.executors = [CsxExecutor(t) for t in self.shards]
+    def _refresh_executors(self, shard: Optional[int] = None) -> None:
+        """Invalidate executor state after a value mutation.
+
+        The executors' plain arrays are views of the table buffers, so an
+        in-place value write is already visible; only the lazily-built
+        page/route layouts (which copy values) must be dropped — and only
+        for the affected shard, keeping a set_entry sweep O(nnz) overall
+        (ref ``test/src/BinaryTest_p2.cpp:40-60`` sets half the entries).
+        """
+        targets = (self.executors if shard is None
+                   else [self.executors[shard]])
+        for ex in targets:
+            ex.invalidate_value_caches()
 
     def tocoo(self):
         """Expand all tables back to COO (for checks and persistence)."""

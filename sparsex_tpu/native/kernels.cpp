@@ -491,24 +491,33 @@ long long spx_color_bipartite(long long m, const long long *src,
                               long long *color_out) {
   if (W <= 0 || (W & (W - 1))) return -1;
   if (m == 0) return 0;
-  const long long n_nodes = n_src + n_dst;
+  if (m > 2000000000LL || n_src + n_dst > 2000000000LL) return -1;
+  const int32_t n_nodes = (int32_t)(n_src + n_dst);
+  const int32_t ns = (int32_t)n_src;
+
+  // 32-bit edge endpoints (cache-friendly: the walk is random access).
+  std::vector<int32_t> esrc(m), edst(m);
+  for (long long i = 0; i < m; ++i) {
+    esrc[i] = (int32_t)src[i];
+    edst[i] = ns + (int32_t)dst[i];
+  }
 
   // order[] holds edge ids grouped contiguously per color-range; ranges are
   // split in place level by level.
-  std::vector<long long> order(m), tmp(m);
-  for (long long i = 0; i < m; ++i) order[i] = i;
+  std::vector<int32_t> order(m), tmp(m);
+  for (long long i = 0; i < m; ++i) order[i] = (int32_t)i;
   std::vector<unsigned char> side(m);
 
   struct Range {
-    long long lo, hi, color, width;
+    int32_t lo, hi, color, width;
   };
-  std::vector<Range> ranges{{0, m, 0, W}}, next;
+  std::vector<Range> ranges{{0, (int32_t)m, 0, (int32_t)W}}, next;
 
   // Per-group scratch, reset via the touched list.
-  std::vector<long long> deg(n_nodes, 0);
-  std::vector<long long> aoff(n_nodes), aend(n_nodes), aptr(n_nodes);
-  std::vector<long long> adj(2 * m);  // incident order-positions
-  std::vector<long long> touched;
+  std::vector<int32_t> deg(n_nodes, 0);
+  std::vector<int32_t> aoff(n_nodes), aend(n_nodes), aptr(n_nodes);
+  std::vector<int32_t> adj(2 * m);  // incident order-positions
+  std::vector<int32_t> touched;
   std::vector<unsigned char> used(m);
   touched.reserve(1 << 12);
 
@@ -516,74 +525,81 @@ long long spx_color_bipartite(long long m, const long long *src,
   while (!ranges.empty()) {
     next.clear();
     for (const Range &rg : ranges) {
-      const long long lo = rg.lo, hi = rg.hi, mg = hi - lo;
+      const int32_t lo = rg.lo, hi = rg.hi, mg = hi - lo;
       if (mg == 0) continue;
       if (rg.width == 1) {
-        for (long long i = lo; i < hi; ++i) color_out[order[i]] = rg.color;
+        for (int32_t i = lo; i < hi; ++i) color_out[order[i]] = rg.color;
         continue;
       }
       // --- build adjacency over this group's edges ---
       touched.clear();
-      for (long long i = lo; i < hi; ++i) {
-        long long e = order[i];
-        long long u = src[e], v = n_src + dst[e];
+      int32_t maxdeg = 0;
+      for (int32_t i = lo; i < hi; ++i) {
+        int32_t e = order[i];
+        int32_t u = esrc[e], v = edst[e];
         if (deg[u]++ == 0) touched.push_back(u);
         if (deg[v]++ == 0) touched.push_back(v);
+        if (deg[u] > maxdeg) maxdeg = deg[u];
+        if (deg[v] > maxdeg) maxdeg = deg[v];
       }
-      if (first_level) {
-        for (long long nd : touched)
-          if (deg[nd] > W) {
-            for (long long nd2 : touched) deg[nd2] = 0;
-            return -2;
-          }
+      if (first_level && maxdeg > W) {
+        for (int32_t nd : touched) deg[nd] = 0;
+        return -2;
       }
-      long long cur = 0;
-      for (long long nd : touched) {
+      if (maxdeg <= 1) {
+        // already a matching: one color serves the whole group
+        for (int32_t i = lo; i < hi; ++i) color_out[order[i]] = rg.color;
+        for (int32_t nd : touched) deg[nd] = 0;
+        continue;
+      }
+      int32_t cur = 0;
+      for (int32_t nd : touched) {
         aoff[nd] = aptr[nd] = cur;
         cur += deg[nd];
         aend[nd] = cur;
       }
-      for (long long i = lo; i < hi; ++i) {
-        long long e = order[i];
-        adj[aptr[src[e]]++] = i;
-        adj[aptr[n_src + dst[e]]++] = i;
+      for (int32_t i = lo; i < hi; ++i) {
+        int32_t e = order[i];
+        adj[aptr[esrc[e]]++] = i;
+        adj[aptr[edst[e]]++] = i;
         used[i] = 0;
       }
-      for (long long nd : touched) aptr[nd] = aoff[nd];
+      for (int32_t nd : touched) aptr[nd] = aoff[nd];
 
       // --- Euler partition: walk maximal trails, alternating sides ---
-      auto walk = [&](long long start) {
-        long long at = start;
+      auto walk = [&](int32_t start) {
+        int32_t at = start;
         unsigned char s = 0;
         for (;;) {
-          long long p = aptr[at];
+          int32_t p = aptr[at];
           while (p < aend[at] && used[adj[p]]) ++p;
           aptr[at] = p;
           if (p == aend[at]) break;
-          long long i = adj[p];
+          int32_t i = adj[p];
           used[i] = 1;
           side[i] = s;
           s ^= 1;
-          long long e = order[i];
-          at = (at == src[e]) ? n_src + dst[e] : src[e];
+          int32_t e = order[i];
+          at = (at == esrc[e]) ? edst[e] : esrc[e];
         }
       };
-      for (long long nd : touched)
+      for (int32_t nd : touched)
         if (deg[nd] & 1) walk(nd);
-      for (long long nd : touched) walk(nd);  // remaining circuits
+      for (int32_t nd : touched) walk(nd);  // remaining circuits
 
       // --- stable partition by side; recurse halves ---
-      long long w0 = 0;
-      for (long long i = lo; i < hi; ++i)
+      int32_t w0 = 0;
+      for (int32_t i = lo; i < hi; ++i)
         if (side[i] == 0) tmp[lo + w0++] = order[i];
-      long long w1 = w0;
-      for (long long i = lo; i < hi; ++i)
+      int32_t w1 = w0;
+      for (int32_t i = lo; i < hi; ++i)
         if (side[i] == 1) tmp[lo + w1++] = order[i];
-      std::memcpy(&order[lo], &tmp[lo], mg * sizeof(long long));
+      std::memcpy(&order[lo], &tmp[lo], mg * sizeof(int32_t));
       next.push_back({lo, lo + w0, rg.color, rg.width / 2});
-      next.push_back({lo + w0, hi, rg.color + rg.width / 2, rg.width / 2});
+      next.push_back({(int32_t)(lo + w0), hi,
+                      (int32_t)(rg.color + rg.width / 2), rg.width / 2});
 
-      for (long long nd : touched) deg[nd] = 0;
+      for (int32_t nd : touched) deg[nd] = 0;
     }
     ranges.swap(next);
     first_level = false;

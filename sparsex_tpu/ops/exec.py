@@ -70,10 +70,17 @@ def _resolve_use_pallas(tables: CsxTables = None) -> bool:
     cheaper than the XLA DIA passes it would otherwise hide under:
     delta_nnz * ~16 ns  <  dia_rows * ~32 B / HBM_BW.
     """
+    from sparsex_tpu.ops.pallas_kernels import dia_pallas_ok
     forced = _pallas_mode()
     if forced is not None:
+        # forcing 'on' off-TPU would die in Mosaic lowering — fall back
+        # with a warning instead (mirrors _pages_active's backend gate).
+        if forced and not dia_pallas_ok():
+            from sparsex_tpu.logger import log_warning
+            log_warning("spx.tpu.use_pallas=on ignored: backend has no "
+                        "Mosaic support; using the XLA path")
+            return False
         return forced
-    from sparsex_tpu.ops.pallas_kernels import dia_pallas_ok
     if not dia_pallas_ok():
         return False
     if tables is None:
@@ -157,7 +164,26 @@ class CsxExecutor:
                     dscatter_entry = ("dscatter", dmetas,
                                       bool(res_pos.size))
 
-        # --- run tables: unit-page gather plans (x-reading types only) ---
+        from sparsex_tpu.ops.route import build_scatter_plan
+
+        def _scatter_entry(entry_arrays, dest_flat):
+            """Try a y-side route plan for a unit table's scatter; returns
+            the static meta entry (or None) and stores arrays in place."""
+            M = dest_flat.size
+            M_pad = -(-M // 128) * 128
+            if M_pad != M:
+                dest_flat = np.concatenate(
+                    [dest_flat, np.full(M_pad - M, -1, dtype=np.int64)])
+            plan = build_scatter_plan(dest_flat, self.tables.nrows)
+            if plan is None:
+                return None
+            smetas, sarrs, res_pos, res_dest = plan
+            entry_arrays["scatter"] = {"chunks": sarrs, "res_pos": res_pos,
+                                       "res_dest": res_dest}
+            return (smetas, bool(res_pos.size), M_pad)
+
+        # --- run tables: unit-page gather plans (x-reading types only)
+        #     + y-side scatter routes ---
         run_meta = []
         run_arrays = []
         for (enc_i, delta, width), t in zip(self.meta[2], arrays["runs"]):
@@ -180,10 +206,22 @@ class CsxExecutor:
                     plan_entry = (plan["T"], plan["q"], plan["g"],
                                   plan["npages"])
                     changed = True
-            run_meta.append((enc_i, delta, width, plan_entry))
+            rows64 = np.asarray(entry_arrays["rows"], dtype=np.int64)
+            if sr == 0:
+                dest = rows64  # one partial per unit
+            else:
+                lane = np.arange(width, dtype=np.int64)
+                dest = np.clip(rows64[:, None] + (sr * delta) * lane[None],
+                               0, self.tables.nrows - 1).reshape(-1)
+            if entry_arrays is t:
+                entry_arrays = dict(t)
+            scat_entry = _scatter_entry(entry_arrays, dest)
+            if scat_entry is not None:
+                changed = True
+            run_meta.append((enc_i, delta, width, plan_entry, scat_entry))
             run_arrays.append(entry_arrays)
 
-        # --- block tables: unit-page gather plans ---
+        # --- block tables: unit-page gather plans + y-side routes ---
         block_meta = []
         block_arrays = []
         for (enc_i, br, bc), t in zip(self.meta[3], arrays["blocks"]):
@@ -202,7 +240,15 @@ class CsxExecutor:
                     plan_entry = (plan["T"], plan["q"], plan["g"],
                                   plan["npages"])
                     changed = True
-            block_meta.append((enc_i, br, bc, plan_entry))
+            rows64 = np.asarray(entry_arrays["rows"], dtype=np.int64)
+            dest = np.clip(rows64[:, None] + np.arange(br, dtype=np.int64),
+                           0, self.tables.nrows - 1).reshape(-1)
+            if entry_arrays is t:
+                entry_arrays = dict(t)
+            scat_entry = _scatter_entry(entry_arrays, dest)
+            if scat_entry is not None:
+                changed = True
+            block_meta.append((enc_i, br, bc, plan_entry, scat_entry))
             block_arrays.append(entry_arrays)
 
         if not changed:
@@ -215,6 +261,14 @@ class CsxExecutor:
         meta[3] = tuple(block_meta)
         extras = [e for e in (dmeta_entry, dscatter_entry) if e]
         self._pages_meta = tuple(meta) + tuple(extras)
+
+    def invalidate_value_caches(self) -> None:
+        """Drop layouts that copied table values (page/route forms); the
+        plain arrays are views of the tables and stay current.  Called by
+        ``CsxMatrix.set_entry`` so value writes stay O(1) + lazy rebuild."""
+        self._pages_tried = False
+        self._pages_meta = None
+        self._pages_arrays = None
 
     def _pages_active(self) -> bool:
         if _pallas_mode() is False:

@@ -356,6 +356,24 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
             return jnp.concatenate([xg_page, tail], axis=0)
         return xg_page[: gidx.shape[0]]
 
+    def _scatter_partials(acc, t, entry, partials):
+        """acc += scatter(partials): routed when a plan exists (entry[4]),
+        else the XLA scatter-add."""
+        scat = entry[4] if len(entry) > 4 else None
+        if scat is None or "scatter" not in t:
+            return None
+        from sparsex_tpu.ops.route import apply_scatter_plan
+        smetas, has_res, m_pad = scat
+        flat = partials.reshape(-1)
+        if m_pad != flat.shape[0]:
+            flat = jnp.pad(flat, (0, m_pad - flat.shape[0]))
+        acc = acc + apply_scatter_plan(smetas, t["scatter"]["chunks"],
+                                       flat, nrows_part)
+        if has_res:
+            acc = acc.at[t["scatter"]["res_dest"]].add(
+                jnp.take(flat, t["scatter"]["res_pos"]), mode="drop")
+        return acc
+
     # --- run tables ---
     for entry, t in zip(run_meta, arrs["runs"]):
         enc_i, delta, width = entry[:3]
@@ -367,12 +385,19 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
         contrib = t["vals"] * xg
         if sr == 0:
             # horizontal: one partial per unit
-            acc = acc.at[t["rows"]].add(jnp.sum(contrib, axis=1),
-                                        mode="drop")
+            routed = _scatter_partials(acc, t, entry,
+                                       jnp.sum(contrib, axis=1))
+            acc = routed if routed is not None else acc.at[t["rows"]].add(
+                jnp.sum(contrib, axis=1), mode="drop")
         else:
-            ridx = t["rows"][:, None] + (sr * delta) * lane[None, :]
-            acc = acc.at[jnp.clip(ridx, 0, nrows_part - 1).ravel()].add(
-                contrib.ravel(), mode="drop")
+            routed = _scatter_partials(acc, t, entry, contrib)
+            if routed is not None:
+                acc = routed
+            else:
+                ridx = t["rows"][:, None] + (sr * delta) * lane[None, :]
+                acc = acc.at[
+                    jnp.clip(ridx, 0, nrows_part - 1).ravel()].add(
+                    contrib.ravel(), mode="drop")
         if symmetric:
             ridx_g = (t["rows"][:, None] + (sr * delta) * lane[None, :]
                       + row_start)
@@ -387,9 +412,14 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
         xg = _gather_units(t, entry, cidx, bc)  # (U, bc)
         contrib = jnp.einsum("urc,uc->ur", t["vals"], xg,
                              preferred_element_type=dtype).astype(dtype)
-        ridx = t["rows"][:, None] + jnp.arange(br, dtype=jnp.int32)[None, :]
-        acc = acc.at[jnp.clip(ridx, 0, nrows_part - 1).ravel()].add(
-            contrib.ravel(), mode="drop")
+        routed = _scatter_partials(acc, t, entry, contrib)
+        if routed is not None:
+            acc = routed
+        else:
+            ridx = (t["rows"][:, None]
+                    + jnp.arange(br, dtype=jnp.int32)[None, :])
+            acc = acc.at[jnp.clip(ridx, 0, nrows_part - 1).ravel()].add(
+                contrib.ravel(), mode="drop")
         if symmetric:
             xgr = jnp.take(x, jnp.clip(ridx + row_start, 0, nrows_glob - 1),
                            axis=0)  # (U, br)

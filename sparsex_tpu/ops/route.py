@@ -157,17 +157,19 @@ def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
             if c2 is None:
                 return None
 
-            # --- index arrays; -1 = masked (emit 0) ---
-            g1 = np.full((S1p, L), -1, dtype=np.int32)
-            g1[a, c] = lane_src.astype(np.int32)
-            g2a = np.full((L * A2R, L), -1, dtype=np.int32)
-            g2a[c * A2R + asr, c2] = (a % L).astype(np.int32)
-            g2b = np.full((L * W2, L), -1, dtype=np.int32)
-            g2b[c * W2 + c2, dsr] = asr.astype(np.int32)
-            g2c = np.full((L * D2R, L), -1, dtype=np.int32)
-            g2c[c * D2R + dsr, page % L] = c2.astype(np.int32)
-            g3 = np.full((K, Dp, L), -1, dtype=np.int32)
-            g3[kf, page, j] = c.astype(np.int32)
+            # --- index arrays; -1 = masked (emit 0).  Every index is a
+            # lane number < 128, so int8 halves-of-halves the dominant
+            # HBM stream of the apply pipeline. ---
+            g1 = np.full((S1p, L), -1, dtype=np.int8)
+            g1[a, c] = lane_src.astype(np.int8)
+            g2a = np.full((L * A2R, L), -1, dtype=np.int8)
+            g2a[c * A2R + asr, c2] = (a % L).astype(np.int8)
+            g2b = np.full((L * W2, L), -1, dtype=np.int8)
+            g2b[c * W2 + c2, dsr] = asr.astype(np.int8)
+            g2c = np.full((L * D2R, L), -1, dtype=np.int8)
+            g2c[c * D2R + dsr, page % L] = c2.astype(np.int8)
+            g3 = np.full((K, Dp, L), -1, dtype=np.int8)
+            g3[kf, page, j] = c.astype(np.int8)
 
             metas.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1))
             arrays.append({"g1": g1, "g2a": g2a, "g2b": g2b, "g2c": g2c,
@@ -247,7 +249,7 @@ def _build_lane_gather(R: int, K: int, dtype_str: str):
         x = x_ref[...]
         acc = jnp.zeros((BR, L), dtype=dtype)
         for k in range(K):
-            idx = idx_ref[k]
+            idx = idx_ref[k].astype(jnp.int32)
             g = jnp.take_along_axis(x, jnp.maximum(idx, 0), axis=1)
             acc = acc + jnp.where(idx >= 0, g, jnp.zeros((), dtype))
         out_ref[...] = acc

@@ -25,7 +25,12 @@ from sparsex_tpu.preprocess.tables import (
     BlockTable, CsxTables, DeltaTable, DiagTable, RunTable,
 )
 
-_MAGIC = "sparsex_tpu-csx-v1"
+# v2: added per-table DIA occupancy masks, dvalues for symmetric archives
+# and the partition/permutation arrays.  v1 archives predate the public
+# release of those fields; restore rejects them with a clean error instead
+# of a KeyError.
+_MAGIC = "sparsex_tpu-csx-v2"
+_OLD_MAGICS = ("sparsex_tpu-csx-v1",)
 
 
 def save_csx(mat: CsxMatrix, filename: str,
@@ -91,14 +96,26 @@ def save_csx(mat: CsxMatrix, filename: str,
 def restore_csx(filename: str) -> Tuple[CsxMatrix, Optional[np.ndarray]]:
     """``spx_mat_restore`` parity (ref ``src/api/matvec.c:427``)."""
     try:
+        # np.savez_compressed appends ".npz" when missing; mirror that on
+        # load so save/restore accept the same filename.
+        import os
+        if not os.path.exists(filename) and os.path.exists(filename + ".npz"):
+            filename = filename + ".npz"
         with np.load(filename) as data:
             arrays = {k: data[k] for k in data.files}
     except OSError as e:
         seterror(ErrorCode.SPX_ERR_FILE_READ, f"cannot read {filename}: {e}")
     try:
         meta = json.loads(bytes(arrays["meta"]).decode("utf-8"))
-        assert meta["magic"] == _MAGIC
+        magic = meta["magic"]
     except Exception:
+        seterror(ErrorCode.SPX_ERR_FILE_READ,
+                 f"{filename} is not a sparsex_tpu CSX archive")
+    if magic != _MAGIC:
+        if magic in _OLD_MAGICS:
+            seterror(ErrorCode.SPX_ERR_FILE_READ,
+                     f"{filename} uses archive format '{magic}'; this "
+                     f"build reads '{_MAGIC}' — re-save with mat_save")
         seterror(ErrorCode.SPX_ERR_FILE_READ,
                  f"{filename} is not a sparsex_tpu CSX archive")
 
@@ -106,8 +123,12 @@ def restore_csx(filename: str) -> Tuple[CsxMatrix, Optional[np.ndarray]]:
         from sparsex_tpu.symmetric import SymCsxMatrix
         mat = SymCsxMatrix(nrows=meta["nrows"], ncols=meta["ncols"],
                            nnz=meta["nnz"])
-        mat.dvalues = [arrays[f"s{i}_dvalues"]
-                       for i in range(meta["nshards"])]
+        try:
+            mat.dvalues = [arrays[f"s{i}_dvalues"]
+                           for i in range(meta["nshards"])]
+        except KeyError:
+            seterror(ErrorCode.SPX_ERR_FILE_READ,
+                     f"{filename}: symmetric archive missing dvalues")
     else:
         mat = CsxMatrix(nrows=meta["nrows"], ncols=meta["ncols"],
                         nnz=meta["nnz"], symmetric=meta["symmetric"])

@@ -130,10 +130,14 @@ class SymCsxMatrix(CsxMatrix):
         z_total = jnp.zeros(self.nrows, dtype=x.dtype)
         if not hasattr(self, "_sym_plain"):
             self._build_sym_arrays()
-        # per-call choice so spx.tpu.use_pallas takes effect immediately
+        # per-call choice so spx.tpu.use_pallas takes effect immediately;
+        # mirrors CsxExecutor._pages_active incl. the runtime-dtype gate
+        # (an f64 x under x64 cannot feed the f32-tiled Mosaic kernels).
         from sparsex_tpu.ops.exec import _pallas_mode
-        from sparsex_tpu.ops.pallas_kernels import dia_pallas_ok
-        use_pages = _pallas_mode() is not False and dia_pallas_ok()
+        from sparsex_tpu.ops.pallas_kernels import (dia_pallas_ok,
+                                                    pallas_dtype_ok)
+        use_pages = (_pallas_mode() is not False and dia_pallas_ok()
+                     and pallas_dtype_ok(x.dtype))
         variants = self._sym_paged if use_pages else self._sym_plain
         for tables, dvals, (meta, arrs) in zip(self.shards, self.dvalues,
                                                variants):
@@ -232,7 +236,10 @@ def build_symmetric_csx(nrows: int, ncols: int, rows, cols, vals, *,
     rows, cols = take1(rows, order), take1(cols, order)
     vals = take1(vals, order)
     bounds = np.searchsorted(rows, part.row_start + [nrows])
-    for i in range(nparts):
+
+    # Thread-parallel per-shard encode (PreprocessThreadSym parity,
+    # ref ``CsxBuild.hpp:290-341``); see CsxMatrix.from_coo.
+    def _encode(i):
         lo, hi = bounds[i], bounds[i + 1]
         r0 = part.row_start[i]
         nr = part.row_end[i] - r0
@@ -246,6 +253,17 @@ def build_symmetric_csx(nrows: int, ncols: int, rows, cols, vals, *,
                       pv[~diag_mask], config=cfg)
         enc.encode()
         tables = enc.finalize(row_start=r0)
+        return i, r0, diag_mask, dvalues, enc, tables
+
+    if nparts == 1:
+        results = [_encode(0)]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        import os as _os
+        workers = min(nparts, max(1, _os.cpu_count() or 1))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            results = list(pool.map(_encode, range(nparts)))
+    for i, r0, diag_mask, dvalues, enc, tables in results:
         mat.shards.append(tables)
         mat.dvalues.append(dvalues)
         mat.executors.append(CsxExecutor(tables))

@@ -141,6 +141,66 @@ def test_route_apply_interpret():
     assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
 
 
+def test_executor_unit_table_route_interpret(monkeypatch):
+    """Run/block unit-table y-scatters also ride the routing network."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    import sparsex_tpu.ops.pallas_kernels as pk
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+    from sparsex_tpu.ops import route as route_mod
+
+    monkeypatch.setattr(pk, "MIN_PAGE_NNZ", 64)
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    monkeypatch.setattr(route_mod, "MIN_ELEMS", 256)
+    cfg = Config.reset()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.preproc.xform", "h,v,br4")
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    rows_l, cols_l = [], []
+    # horizontal runs of 8
+    hr = rng.integers(0, n, 600)
+    hc = rng.integers(0, n - 8, 600)
+    rows_l.append(np.repeat(hr, 8))
+    cols_l.append((hc[:, None] + np.arange(8)[None]).ravel())
+    # vertical runs of 6 (strided y-scatter)
+    vr = rng.integers(0, n - 6, 300)
+    vc = rng.integers(0, n, 300)
+    rows_l.append((vr[:, None] + np.arange(6)[None]).ravel())
+    cols_l.append(np.repeat(vc, 6))
+    # 4x2 blocks
+    br0 = rng.integers(0, (n - 4) // 4, 300) * 4
+    bc0 = rng.integers(0, (n - 2) // 2, 300) * 2
+    ii, jj = np.meshgrid(np.arange(4), np.arange(2), indexing="ij")
+    rows_l.append((br0[:, None, None] + ii[None]).ravel())
+    cols_l.append((bc0[:, None, None] + jj[None]).ravel())
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    key = rows * n + cols
+    _, uniq = np.unique(key, return_index=True)
+    rows, cols = rows[uniq], cols[uniq]
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    ex = mat.executors[0]
+    with pltpu.force_tpu_interpret_mode():
+        assert ex._pages_active()
+        run_scats = [e[4] for e in ex._pages_meta[2] if len(e) > 4]
+        blk_scats = [e[4] for e in ex._pages_meta[3] if len(e) > 4]
+        assert any(s is not None for s in run_scats + blk_scats), \
+            "no unit-table scatter plan was built"
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(ex(jnp.asarray(x)))
+    ref = np.zeros(n, np.float32)
+    np.add.at(ref, rows, vals * x[cols])
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
 def test_executor_route_interpret(monkeypatch):
     """End-to-end: executor picks the routed delta path (pages + route)."""
     import jax.numpy as jnp
