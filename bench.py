@@ -206,6 +206,35 @@ def bench_workload(name, n, rows, cols, vals):
     }
 
 
+def bench_spmm(name, n, rows, cols, vals, k=8):
+    """Time SpMM at width k on an already-built matrix (nnz*k/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparsex_tpu.csx import CsxMatrix
+
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    nnz = rows.size
+
+    def make(kk):
+        @jax.jit
+        def chained(X):
+            def body(carry, _):
+                Y = mat.matmat(carry)
+                Y = Y * jax.lax.rsqrt(jnp.mean(Y * Y) + 1e-20)
+                return Y, ()
+            Y, _ = jax.lax.scan(body, X, None, length=kk)
+            return Y
+        return lambda: chained(X)
+
+    X = jnp.asarray(np.random.default_rng(3).standard_normal((n, k)),
+                    dtype=jnp.float32)
+    per_iter, _, _ = _slope_time(make, max(LOOPS // 16, 2), LOOPS // 4, 3)
+    log(f"[{name}] SpMM k={k}: {per_iter * 1e6:.1f} us -> "
+        f"{nnz * k / per_iter / 1e9:.2f} Gnnz*k/s")
+    return nnz * k / per_iter
+
+
 def main():
     import jax
 
@@ -221,6 +250,8 @@ def main():
 
     head = bench_workload("headline", N, *build_matrix(N))
     blocky = bench_workload("blocky", N_BLOCKY, *build_blocky_matrix(N_BLOCKY))
+    spmm_rate = bench_spmm("blocky", N_BLOCKY,
+                           *build_blocky_matrix(N_BLOCKY), k=8)
 
     bw = measure_hbm_bw()
     sol = head["ideal_bytes"] / bw
@@ -246,6 +277,7 @@ def main():
             "blocky_nnz_per_s": blocky["nnz_per_s"],
             "blocky_us_per_spmv": blocky["us_per_spmv"],
             "blocky_pt_s": blocky["pt_s"],
+            "spmm_k8_nnzk_per_s": spmm_rate,
             "hbm_bw_gbps": bw / 1e9,
         },
     }))

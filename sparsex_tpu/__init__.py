@@ -35,6 +35,10 @@ from sparsex_tpu.api import (
     matvec_mult,
     matvec_kernel,
     matvec_kernel_csr,
+    matvec_kernel_csr_invalidate,
+    matmat_mult,
+    matmat_kernel,
+    spgemm,
     partition_csr,
     Matrix,
     Input,
@@ -54,6 +58,9 @@ __all__ = [
     "input_load_csr", "input_load_mmf", "input_destroy",
     "mat_tune", "mat_get_entry", "mat_set_entry", "mat_save", "mat_restore",
     "mat_get_partition", "mat_destroy",
-    "matvec_mult", "matvec_kernel", "matvec_kernel_csr", "partition_csr",
+    "matvec_mult", "matvec_kernel", "matvec_kernel_csr",
+    "matvec_kernel_csr_invalidate", "matmat_mult", "matmat_kernel",
+    "spgemm",
+    "partition_csr",
     "Matrix", "Input", "Partition",
 ]

@@ -206,6 +206,26 @@ def matvec_kernel(alpha: float, mat: Matrix, x, beta: float, y):
     return mat.csx.matvec(x, alpha=alpha, beta=beta, y=y)
 
 
+def matmat_mult(alpha: float, mat: Matrix, X):
+    """SpMM: Y = alpha*A*X with X of shape (ncols, k).
+
+    Multi-RHS extension of ``spx_matvec_mult`` (the reference API stops at
+    single vectors, ``include/sparsex/matvec.h:39-535``; on TPU the k axis
+    amortizes every gather and feeds the MXU)."""
+    return mat.csx.matmat(X, alpha=alpha, beta=0.0)
+
+
+def matmat_kernel(alpha: float, mat: Matrix, X, beta: float, Y):
+    """SpMM: Y = alpha*A*X + beta*Y (multi-RHS ``spx_matvec_kernel``)."""
+    return mat.csx.matmat(X, alpha=alpha, beta=beta, Y=Y)
+
+
+def spgemm(a: Matrix, b: Matrix) -> Matrix:
+    """C = A @ B as a new tuned matrix (see ``sparsex_tpu/spgemm.py``)."""
+    from sparsex_tpu.ops.spgemm import spgemm as _spgemm
+    return Matrix(csx=_spgemm(a.csx, b.csx))
+
+
 from collections import OrderedDict as _OrderedDict
 
 _csr_cache = _OrderedDict()

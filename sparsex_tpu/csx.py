@@ -123,6 +123,25 @@ class CsxMatrix:
         """y = alpha*A*x (``spx_matvec_mult`` parity: y zeroed first)."""
         return self.matvec(x, alpha=alpha, beta=0.0)
 
+    def matmat(self, X, alpha=1.0, beta=0.0, Y=None):
+        """SpMM: Y = alpha*A*X + beta*Y with X (ncols, k).
+
+        Same per-shard composition as matvec — ``local_contrib`` widens
+        every kernel class to (rows, k) slabs (DIA windows become row
+        slabs, gathers/scatters move k-vectors, blocks run a urc,uck->urk
+        MXU einsum).  Multi-RHS SpMV is where TPUs shine: the per-row
+        gather cost amortizes over k.
+        """
+        import jax.numpy as jnp
+        X = jnp.asarray(X)
+        if X.ndim != 2 or X.shape[0] != self.ncols:
+            seterror(ErrorCode.SPX_ERR_VEC_DIM,
+                     f"X must be ({self.ncols}, k), got {X.shape}")
+        if Y is not None and np.shape(Y) != (self.nrows, X.shape[1]):
+            seterror(ErrorCode.SPX_ERR_VEC_DIM,
+                     f"Y must be ({self.nrows}, {X.shape[1]})")
+        return self.matvec(X, alpha=alpha, beta=beta, y=Y)
+
     # ------------------------------------------------------------------
     def csx_size(self) -> int:
         return sum(t.csx_size() for t in self.shards)

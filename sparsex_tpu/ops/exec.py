@@ -282,11 +282,15 @@ class CsxExecutor:
 
     def __call__(self, x, alpha=1.0, beta=0.0, y=None):
         import jax.numpy as jnp
-        meta, arrays = self.meta, self.arrays
-        if self._pages_active():
-            meta, arrays = self._pages_meta, self._pages_arrays
         x = jnp.asarray(x)
-        y0 = (jnp.zeros(meta[0], dtype=x.dtype)
+        meta, arrays = self.meta, self.arrays
+        # SpMM (x is (ncols, k)) rides the plain XLA kernels: row
+        # gathers/scatters amortize over k, and the Pallas page/route
+        # layouts move scalars.
+        if x.ndim == 1 and self._pages_active():
+            meta, arrays = self._pages_meta, self._pages_arrays
+        shape = meta[0] if x.ndim == 1 else (meta[0], x.shape[1])
+        y0 = (jnp.zeros(shape, dtype=x.dtype)
               if y is None else jnp.asarray(y))
         fn = _compiled(meta, self._dtype, _resolve_use_pallas(self.tables))
         return fn(arrays, x, x.dtype.type(alpha), x.dtype.type(beta), y0)

@@ -94,7 +94,22 @@ def _dia_contrib_static(meta_dias, dias, x, nrows_part: int, ncols: int,
     if use_pallas:
         from sparsex_tpu.ops.pallas_kernels import (
             MAX_DIAGS_PALLAS, dia_spmv_pallas, pallas_dtype_ok)
-        use_pallas = pallas_dtype_ok(x.dtype)
+        use_pallas = pallas_dtype_ok(x.dtype) and x.ndim == 1
+
+    mm = x.ndim == 2  # SpMM: x is (ncols, k); windows become row slabs
+
+    def _win(xp, s0, length):
+        if mm:
+            return jax.lax.slice(xp, (s0, 0), (s0 + length, xp.shape[1]))
+        return jax.lax.slice(xp, (s0,), (s0 + length,))
+
+    def _bcast(dvk):
+        return dvk[:, None] if mm else dvk
+
+    def _pad(v, lo, hi):
+        if not (lo or hi):
+            return v
+        return jnp.pad(v, ((lo, hi), (0, 0)) if mm else (lo, hi))
 
     for (anti, offsets, _nd), t in zip(meta_dias, dias):
         dv = t["vals"]
@@ -120,41 +135,38 @@ def _dia_contrib_static(meta_dias, dias, x, nrows_part: int, ncols: int,
             pad_lo = max(0, max((-o for o in offsets), default=0))
             pad_hi = max(0, max((o + nrows_part - ncols for o in offsets),
                                 default=0))
-            xp = jnp.pad(x, (pad_lo, pad_hi)) if (pad_lo or pad_hi) else x
+            xp = _pad(x, pad_lo, pad_hi)
             total = acc
             for k, o in enumerate(offsets):
                 s0 = o + pad_lo
-                total = total + dv[k] * jax.lax.slice(
-                    xp, (s0,), (s0 + nrows_part,))
+                total = total + _bcast(dv[k]) * _win(xp, s0, nrows_part)
             acc = total
             if z is not None:
                 # transposed: z[r + o] += dv[r] * x_own[r] — each diagonal
                 # is a static window of the padded product vector.
                 for k, o in enumerate(offsets):
-                    prod = dv[k] * x_own
+                    prod = _bcast(dv[k]) * x_own
                     z0 = max(0, o)
                     z1 = min(nrows_glob, nrows_part + o)
                     if z1 > z0:
                         z = z.at[z0:z1].add(prod[z0 - o: z1 - o])
         else:
             # anti-diagonal s = r + c: x[s - r] = reversed-x window.
-            xr = x[::-1]  # xr[i] = x[ncols-1-i]
+            xr = x[::-1]  # xr[i] = x[ncols-1-i] (row-flip for SpMM)
             pad_lo = max(0, max((s - (ncols - 1) for s in offsets),
                                 default=0))
             pad_hi = max(0, max(((nrows_part - 1) - s for s in offsets),
                                 default=0))
-            xrp = (jnp.pad(xr, (pad_lo, pad_hi))
-                   if (pad_lo or pad_hi) else xr)
+            xrp = _pad(xr, pad_lo, pad_hi)
             total = acc
             for k, s in enumerate(offsets):
                 # x[s - r] for r in [0, nrows) = xr[ncols-1-s+r]
                 s0 = ncols - 1 - s + pad_lo
-                total = total + dv[k] * jax.lax.slice(
-                    xrp, (s0,), (s0 + nrows_part,))
+                total = total + _bcast(dv[k]) * _win(xrp, s0, nrows_part)
             acc = total
             if z is not None:
                 for k, s in enumerate(offsets):
-                    prod = (dv[k] * x_own)[::-1]  # index r -> nrows-1-r
+                    prod = (_bcast(dv[k]) * x_own)[::-1]  # r -> nrows-1-r
                     # z[s - r] += prod_rev[nrows-1-r]: window start s-nrows+1
                     z0 = max(0, s - nrows_part + 1)
                     z1 = min(nrows_glob, s + 1)
@@ -260,16 +272,25 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
 
     _nr, _nc, run_meta, block_meta, dia_meta = meta[:5]
     dtype = x.dtype
-    acc = jnp.zeros(nrows_part, dtype=dtype)
+    mm = x.ndim == 2  # SpMM: x is (ncols, k)
+    kdim = x.shape[1] if mm else None
+    acc = jnp.zeros((nrows_part, kdim) if mm else nrows_part, dtype=dtype)
     z = None
     x_own = None
     if symmetric:
         nrows_glob = int(nrows_glob if nrows_glob is not None else ncols)
-        z = jnp.zeros(nrows_glob, dtype=dtype)
-        x_own = jax.lax.dynamic_slice(
-            jnp.pad(x, (0, nrows_part)), (row_start,), (nrows_part,))
-        if dvals is not None:
-            acc = acc + dvals * x_own
+        z = jnp.zeros((nrows_glob, kdim) if mm else nrows_glob, dtype=dtype)
+        if mm:
+            x_own = jax.lax.dynamic_slice(
+                jnp.pad(x, ((0, nrows_part), (0, 0))), (row_start, 0),
+                (nrows_part, kdim))
+            if dvals is not None:
+                acc = acc + dvals[:, None] * x_own
+        else:
+            x_own = jax.lax.dynamic_slice(
+                jnp.pad(x, (0, nrows_part)), (row_start,), (nrows_part,))
+            if dvals is not None:
+                acc = acc + dvals * x_own
 
     # --- dense diagonals (elementwise, HBM-bound) ---
     if dia_meta:
@@ -292,14 +313,14 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
     page_sigs += [e[3] for e in run_meta if len(e) > 3 and e[3]]
     page_sigs += [e[3] for e in block_meta if len(e) > 3 and e[3]]
     x2 = None
-    if page_sigs:
+    if page_sigs and not mm:
         from sparsex_tpu.ops.pallas_kernels import pad_x_pages
         # both sig shapes carry q at index 1 and npages last:
         # (T, q, npages) and (T, q, g, npages)
         q_max = max(s[1] for s in page_sigs)
         np_max = max(s[-1] for s in page_sigs)
         x2 = pad_x_pages(x, ncols, q_max, np_max)
-    if "dpages" in extras and "delta_pages" in arrs:
+    if "dpages" in extras and "delta_pages" in arrs and not mm:
         from sparsex_tpu.ops.pallas_kernels import (delta_pages_products,
                                                     delta_pages_spmv)
         if "dscatter" in extras and "delta_scatter" in arrs:
@@ -319,32 +340,44 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
         else:
             acc = delta_pages_spmv(extras["dpages"], arrs["delta_pages"],
                                    x, nrows_part, ncols, acc, x2=x2)
-    if symmetric and "dpagesT" in extras and "delta_pages_t" in arrs:
+    if symmetric and "dpagesT" in extras and "delta_pages_t" in arrs \
+            and not mm:
         from sparsex_tpu.ops.pallas_kernels import delta_pages_spmv
         z = delta_pages_spmv(extras["dpagesT"], arrs["delta_pages_t"], x,
                              nrows_glob, nrows_glob, z, x2=x2)
 
     # --- delta singles: gather + sorted segment-sum ---
+    def _vb(v):
+        """values broadcast against a gathered-x block (adds a k axis)."""
+        return v[..., None] if mm else v
+
+    def _take_x(idx):
+        """x rows/scalars at idx (any idx shape; SpMM appends the k axis)."""
+        if mm:
+            return jnp.take(x, jnp.clip(idx, 0, ncols - 1), axis=0)
+        return jnp.take(x, idx, mode="clip")
+
     d = arrs["delta"]
     if d is not None and d["cols"].shape[0]:
-        prod = d["vals"] * jnp.take(x, d["cols"], mode="clip")
+        prod = _vb(d["vals"]) * _take_x(d["cols"])
         acc = acc + jax.ops.segment_sum(
             prod, d["row_ids"], num_segments=nrows_part,
             indices_are_sorted=True)
     dt = arrs.get("delta_t")
     if symmetric and dt is not None and dt["cols"].shape[0]:
         # transposed leftovers: z[c] += v * x[r_glob]
-        xg = jnp.take(x, dt["row_ids"] + row_start, mode="clip")
-        z = z.at[dt["cols"]].add(dt["vals"] * xg, mode="drop")
+        xg = _take_x(dt["row_ids"] + row_start)
+        z = z.at[dt["cols"]].add(_vb(dt["vals"]) * xg, mode="drop")
     elif symmetric and dt is None and d is not None and d["cols"].shape[0]:
-        xg = jnp.take(x, d["row_ids"] + row_start, mode="clip")
-        z = z.at[d["cols"]].add(d["vals"] * xg, mode="drop")
+        xg = _take_x(d["row_ids"] + row_start)
+        z = z.at[d["cols"]].add(_vb(d["vals"]) * xg, mode="drop")
 
     def _gather_units(t, entry, gidx, width):
-        """(U, width) x values: paged-gather prefix + jnp.take tail."""
+        """(U, width[, k]) x values: paged-gather prefix + jnp.take tail
+        (SpMM always takes the XLA row-gather: rows amortize the cost)."""
         plan_sig = entry[3] if len(entry) > 3 else None
         clipped = jnp.clip(gidx, 0, ncols - 1)
-        if plan_sig is None or "plan" not in t:
+        if mm or plan_sig is None or "plan" not in t:
             return jnp.take(x, clipped, axis=0)
         from sparsex_tpu.ops.pallas_kernels import paged_gather
         T, q, g, npages = plan_sig
@@ -358,9 +391,10 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
 
     def _scatter_partials(acc, t, entry, partials):
         """acc += scatter(partials): routed when a plan exists (entry[4]),
-        else the XLA scatter-add."""
+        else the XLA scatter-add.  SpMM keeps the row scatter (the routing
+        network moves scalars; (row, k) slices amortize in XLA)."""
         scat = entry[4] if len(entry) > 4 else None
-        if scat is None or "scatter" not in t:
+        if mm or scat is None or "scatter" not in t:
             return None
         from sparsex_tpu.ops.route import apply_scatter_plan
         smetas, has_res, m_pad = scat
@@ -382,50 +416,65 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
         lane = jnp.arange(width, dtype=jnp.int32)
         gidx = t["cols"][:, None] + (sc * delta) * lane[None, :]
         xg = _gather_units(t, entry, gidx, width)
-        contrib = t["vals"] * xg
+        contrib = _vb(t["vals"]) * xg
         if sr == 0:
             # horizontal: one partial per unit
-            routed = _scatter_partials(acc, t, entry,
-                                       jnp.sum(contrib, axis=1))
-            acc = routed if routed is not None else acc.at[t["rows"]].add(
-                jnp.sum(contrib, axis=1), mode="drop")
+            partial = jnp.sum(contrib, axis=1)
+            routed = _scatter_partials(acc, t, entry, partial)
+            acc = (routed if routed is not None
+                   else acc.at[t["rows"]].add(partial, mode="drop"))
         else:
             routed = _scatter_partials(acc, t, entry, contrib)
             if routed is not None:
                 acc = routed
             else:
                 ridx = t["rows"][:, None] + (sr * delta) * lane[None, :]
-                acc = acc.at[
-                    jnp.clip(ridx, 0, nrows_part - 1).ravel()].add(
-                    contrib.ravel(), mode="drop")
+                flatidx = jnp.clip(ridx, 0, nrows_part - 1).ravel()
+                flat = (contrib.reshape(-1, kdim) if mm
+                        else contrib.ravel())
+                acc = acc.at[flatidx].add(flat, mode="drop")
         if symmetric:
             ridx_g = (t["rows"][:, None] + (sr * delta) * lane[None, :]
                       + row_start)
             xgr = jnp.take(x, jnp.clip(ridx_g, 0, nrows_glob - 1), axis=0)
+            zc = _vb(t["vals"]) * xgr
             z = z.at[jnp.clip(gidx, 0, nrows_glob - 1).ravel()].add(
-                (t["vals"] * xgr).ravel(), mode="drop")
+                zc.reshape(-1, kdim) if mm else zc.ravel(), mode="drop")
 
     # --- block tables: MXU einsum ---
     for entry, t in zip(block_meta, arrs["blocks"]):
         enc_i, br, bc = entry[:3]
         cidx = t["cols"][:, None] + jnp.arange(bc, dtype=jnp.int32)[None, :]
-        xg = _gather_units(t, entry, cidx, bc)  # (U, bc)
-        contrib = jnp.einsum("urc,uc->ur", t["vals"], xg,
-                             preferred_element_type=dtype).astype(dtype)
+        xg = _gather_units(t, entry, cidx, bc)  # (U, bc[, k])
+        if mm:
+            contrib = jnp.einsum("urc,uck->urk", t["vals"], xg,
+                                 preferred_element_type=dtype).astype(dtype)
+        else:
+            contrib = jnp.einsum("urc,uc->ur", t["vals"], xg,
+                                 preferred_element_type=dtype).astype(dtype)
         routed = _scatter_partials(acc, t, entry, contrib)
+        ridx = (t["rows"][:, None]
+                + jnp.arange(br, dtype=jnp.int32)[None, :])
         if routed is not None:
             acc = routed
         else:
-            ridx = (t["rows"][:, None]
-                    + jnp.arange(br, dtype=jnp.int32)[None, :])
+            flat = contrib.reshape(-1, kdim) if mm else contrib.ravel()
             acc = acc.at[jnp.clip(ridx, 0, nrows_part - 1).ravel()].add(
-                contrib.ravel(), mode="drop")
+                flat, mode="drop")
         if symmetric:
             xgr = jnp.take(x, jnp.clip(ridx + row_start, 0, nrows_glob - 1),
-                           axis=0)  # (U, br)
-            tcontrib = jnp.einsum("urc,ur->uc", t["vals"], xgr,
-                                  preferred_element_type=dtype).astype(dtype)
-            z = z.at[jnp.clip(cidx, 0, nrows_glob - 1).ravel()].add(
-                tcontrib.ravel(), mode="drop")
+                           axis=0)  # (U, br[, k])
+            if mm:
+                tcontrib = jnp.einsum(
+                    "urc,urk->uck", t["vals"], xgr,
+                    preferred_element_type=dtype).astype(dtype)
+                z = z.at[jnp.clip(cidx, 0, nrows_glob - 1).ravel()].add(
+                    tcontrib.reshape(-1, kdim), mode="drop")
+            else:
+                tcontrib = jnp.einsum(
+                    "urc,ur->uc", t["vals"], xgr,
+                    preferred_element_type=dtype).astype(dtype)
+                z = z.at[jnp.clip(cidx, 0, nrows_glob - 1).ravel()].add(
+                    tcontrib.ravel(), mode="drop")
 
     return acc, z

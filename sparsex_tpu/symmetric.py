@@ -127,7 +127,9 @@ class SymCsxMatrix(CsxMatrix):
             seterror(ErrorCode.SPX_ERR_VEC_DIM,
                      f"x has {x.shape[0]} entries, expected {self.ncols}")
         y_parts = []
-        z_total = jnp.zeros(self.nrows, dtype=x.dtype)
+        zshape = (self.nrows if x.ndim == 1
+                  else (self.nrows, x.shape[1]))
+        z_total = jnp.zeros(zshape, dtype=x.dtype)
         if not hasattr(self, "_sym_plain"):
             self._build_sym_arrays()
         # per-call choice so spx.tpu.use_pallas takes effect immediately;
@@ -137,7 +139,7 @@ class SymCsxMatrix(CsxMatrix):
         from sparsex_tpu.ops.pallas_kernels import (dia_pallas_ok,
                                                     pallas_dtype_ok)
         use_pages = (_pallas_mode() is not False and dia_pallas_ok()
-                     and pallas_dtype_ok(x.dtype))
+                     and pallas_dtype_ok(x.dtype) and x.ndim == 1)
         variants = self._sym_paged if use_pages else self._sym_plain
         for tables, dvals, (meta, arrs) in zip(self.shards, self.dvalues,
                                                variants):
