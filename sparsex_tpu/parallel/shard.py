@@ -7,29 +7,41 @@ runtime (``ThreadPool``/``Barrier``/``CsxSpmv``/NUMA placement, SURVEY §2.7):
   ``jax.sharding.Mesh`` (nnz-balanced, same splitting algorithm);
 - NUMA interleaved allocation          -> ``NamedSharding`` placement of each
   shard's tables in its device's HBM;
-- shared read of x + futex barrier     -> x replicated over the mesh (the
-  all-gather is XLA's job; halo-narrowing to referenced column spans is a
-  planned optimization), synchronization implicit in the XLA program;
+- shared read of x + futex barrier     -> x replicated over the mesh, or a
+  **halo exchange**: x stays sharded, each device ring-``ppermute``s only
+  the ``halo_k`` neighbor chunks its column span references, and the
+  own-chunk ("local") contribution is computed against its resident x
+  chunk with NO dependency on the ring — XLA overlaps the collective with
+  that compute;
 - CSX-Sym local buffers + reduction map-> per-shard transposed partials
-  reduced with ``lax.psum`` inside ``shard_map`` (ref
-  ``VecInitFromMap``/``VecAddFromMap``, ``src/internals/CsxSpmv.cpp:66-85``).
+  reduced with ``lax.psum_scatter`` (each device receives only its own row
+  block; ref ``VecInitFromMap``/``VecAddFromMap``,
+  ``src/internals/CsxSpmv.cpp:66-85``).
 
 Shards generally have different table sets and sizes; to keep the SPMD
 program static they are stacked into uniform arrays: the union of table
 signatures across shards, each padded to the max unit count (padding units
-carry zero values and index 0, contributing nothing).
+carry zero values and index 0, contributing nothing).  The same stacking
+applies to the Pallas page layouts and the scatter-routing plans
+(``ops/route.py``), so the sharded program runs the full optimized kernel
+set.  For halo mode every shard's tables are **rebased at build time**:
+local tables into own-chunk coordinates, halo tables into window
+coordinates — no per-call index arithmetic.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from types import SimpleNamespace
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 from sparsex_tpu.csx import CsxMatrix
 from sparsex_tpu.ops.pallas_kernels import DELTA_TILE
 from sparsex_tpu.preprocess.encodings import EncType
-from sparsex_tpu.preprocess.tables import CsxTables
+from sparsex_tpu.preprocess.tables import (
+    BlockTable, CsxTables, DeltaTable, DiagTable, RunTable,
+)
 from sparsex_tpu.preprocess.xform import run_step
 
 
@@ -40,16 +52,26 @@ def _pad_to(a: np.ndarray, n: int, fill=0) -> np.ndarray:
     return np.concatenate([a, pad], axis=0)
 
 
-def stack_shards(mat: CsxMatrix, value_dtype=None):
+def stack_shards(shards: List[CsxTables], nrows: int, ncols: int,
+                 value_dtype=None):
     """Stack per-shard tables into uniform arrays with a leading shard axis.
 
     Returns (arrays, static_meta).  ``arrays`` is a pytree whose every leaf
     has leading dimension n_shards; ``static_meta`` carries the union table
     signature, per-shard row offsets/counts and padding info.
     """
-    shards = mat.shards
     n = len(shards)
-    vdt = value_dtype or shards[0].delta.vals.dtype
+    vdt = value_dtype
+    if vdt is None:
+        for t in shards:
+            for src in ([t.delta] if t.delta is not None else []) + \
+                    list(t.dias) + list(t.runs) + list(t.blocks):
+                vdt = src.vals.dtype
+                break
+            if vdt is not None:
+                break
+        if vdt is None:
+            vdt = np.float32
     max_rows = max(t.nrows for t in shards)
 
     # --- delta tables ---
@@ -150,8 +172,8 @@ def stack_shards(mat: CsxMatrix, value_dtype=None):
     }
     meta = {
         "n": n,
-        "nrows": mat.nrows,
-        "ncols": mat.ncols,
+        "nrows": nrows,
+        "ncols": ncols,
         "max_rows": max_rows,
         "run_keys": tuple(run_keys),
         "block_keys": tuple(block_keys),
@@ -182,12 +204,14 @@ def _local_spmv(meta, tbl, x, axis_name=None, symmetric=False,
 
     kmeta = (meta["max_rows"], meta["ncols"], meta["run_keys"],
              meta["block_keys"], meta["dia_keys"])
-    if meta.get("dpages"):
-        kmeta = kmeta + (meta["dpages"],)
+    for extra in ("dpages", "dscatter"):
+        if meta.get(extra):
+            kmeta = kmeta + (meta[extra],)
     arrs = {"delta": tbl["delta"], "runs": tbl["runs"],
             "blocks": tbl["blocks"], "dias": tbl["dias"]}
-    if "delta_pages" in tbl:
-        arrs["delta_pages"] = tbl["delta_pages"]
+    for key in ("delta_pages", "delta_scatter"):
+        if key in tbl:
+            arrs[key] = tbl[key]
     return local_contrib(
         kmeta, arrs, x, nrows_part=meta["max_rows"], ncols=meta["ncols"],
         row_start=tbl["row_start"][0], symmetric=symmetric, dvals=dvals,
@@ -229,6 +253,386 @@ def _col_span(t: CsxTables) -> Tuple[int, int]:
     return lo, hi
 
 
+# ---------------------------------------------------------------------------
+# halo split: build-time rebasing into own-chunk / window coordinates
+# ---------------------------------------------------------------------------
+def _mk_delta(nrows: int, rows, cols, vals) -> Optional[DeltaTable]:
+    if rows.size == 0:
+        return None
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    rowptr = np.searchsorted(rows, np.arange(nrows + 1)).astype(np.int64)
+    return DeltaTable(rowptr=rowptr, cols=cols.astype(np.int64),
+                      vals=vals, row_ids=rows.astype(np.int64))
+
+
+def _split_tables_for_halo(t: CsxTables, i: int, k: int, chunk: int):
+    """Split one shard's tables into (local, halo) sets, rebased at build
+    time: local = units whose whole x span lies in the shard's own chunk,
+    in own-chunk coordinates [0, chunk); halo = the rest, in window
+    coordinates [0, (2k+1)*chunk).  DIA diagonals stay local — their few
+    out-of-chunk edge elements spill into the halo delta table, so the
+    dominant DIA stream is never duplicated."""
+    own_lo, own_hi = i * chunk, (i + 1) * chunk
+    base_h = (i - k) * chunk
+    win = (2 * k + 1) * chunk
+
+    dl_r, dl_c, dl_v = [], [], []   # local delta
+    dh_r, dh_c, dh_v = [], [], []   # halo delta (incl. DIA/unit spills)
+
+    d = t.delta
+    if d is not None and d.nnz:
+        cols = np.asarray(d.cols, dtype=np.int64)
+        rows = np.asarray(d.row_ids, dtype=np.int64)
+        vals = np.asarray(d.vals)
+        m = (cols >= own_lo) & (cols < own_hi)
+        dl_r.append(rows[m]); dl_c.append(cols[m] - own_lo)
+        dl_v.append(vals[m])
+        dh_r.append(rows[~m]); dh_c.append(cols[~m] - base_h)
+        dh_v.append(vals[~m])
+
+    runs_l, runs_h = [], []
+    for rt in t.runs:
+        if rt.rows.size == 0:
+            continue
+        sr, sc = run_step(rt.enc)
+        reach = sc * rt.delta * (rt.vals.shape[1] - 1)
+        c0 = rt.cols + min(0, reach)
+        c1 = rt.cols + max(0, reach)
+        m = (c0 >= own_lo) & (c1 < own_hi)
+        for sel, base, out in ((m, own_lo, runs_l), (~m, base_h, runs_h)):
+            if sel.any():
+                out.append(RunTable(
+                    enc=rt.enc, delta=rt.delta, rows=rt.rows[sel],
+                    cols=rt.cols[sel] - base, sizes=rt.sizes[sel],
+                    vals=rt.vals[sel]))
+
+    blocks_l, blocks_h = [], []
+    for bt in t.blocks:
+        if bt.rows.size == 0:
+            continue
+        m = (bt.cols >= own_lo) & (bt.cols + bt.bc - 1 < own_hi)
+        for sel, base, out in ((m, own_lo, blocks_l), (~m, base_h, blocks_h)):
+            if sel.any():
+                out.append(BlockTable(
+                    enc=bt.enc, rows=bt.rows[sel], cols=bt.cols[sel] - base,
+                    vals=bt.vals[sel]))
+
+    dias_l = []
+    for dt in t.dias:
+        if not dt.ndiags:
+            continue
+        vals = dt.vals.copy()
+        mask = (dt.mask if dt.mask is not None else vals != 0)
+        r = np.arange(t.nrows, dtype=np.int64)
+        for j, o in enumerate(np.asarray(dt.offsets, dtype=np.int64)):
+            xi = (o - r) if dt.anti else (r + o)
+            out = mask[j] & ((xi < own_lo) | (xi >= own_hi))
+            if out.any():
+                rr = r[out]
+                dh_r.append(rr)
+                dh_c.append(xi[out] - base_h)
+                dh_v.append(vals[j, out].copy())
+                vals[j, out] = 0
+        offs = np.asarray(dt.offsets, dtype=np.int64) - own_lo
+        dias_l.append(DiagTable(anti=dt.anti, offsets=offs, vals=vals,
+                                mask=None, nnz_count=dt.nnz_count))
+
+    def cat(parts, dtype=None):
+        if not parts:
+            return np.zeros(0, dtype=dtype if dtype is not None else np.int64)
+        return np.concatenate(parts)
+
+    vdt = (t.delta.vals.dtype if t.delta is not None
+           else (t.dias[0].vals.dtype if t.dias else np.float32))
+    delta_l = _mk_delta(t.nrows, cat(dl_r), cat(dl_c), cat(dl_v, vdt))
+    delta_h = _mk_delta(t.nrows, cat(dh_r), cat(dh_c), cat(dh_v, vdt))
+
+    local = CsxTables(nrows=t.nrows, ncols=chunk, nnz=t.nnz,
+                      row_start=t.row_start, delta=delta_l, runs=runs_l,
+                      blocks=blocks_l, dias=dias_l)
+    halo = CsxTables(nrows=t.nrows, ncols=win, nnz=0,
+                     row_start=t.row_start, delta=delta_h, runs=runs_h,
+                     blocks=blocks_h, dias=[])
+    return local, halo
+
+
+# ---------------------------------------------------------------------------
+# stacked page / route layout upgrades (shared by replicated + halo sets)
+# ---------------------------------------------------------------------------
+def _pallas_stacking_ok(vdt) -> bool:
+    from sparsex_tpu.ops.exec import _pallas_mode
+    from sparsex_tpu.ops.pallas_kernels import dia_pallas_ok, pallas_dtype_ok
+    return (_pallas_mode() is not False and dia_pallas_ok()
+            and pallas_dtype_ok(vdt))
+
+
+def stack_delta_pages(arrays, meta, shards: List[CsxTables],
+                      ncols: int) -> None:
+    """Rebuild every shard's delta into the page-bucketed layout with a
+    union (T, q) signature and stack the plans with a leading shard axis.
+    Any shard failing the layout disables it for all (one SPMD program)."""
+    from sparsex_tpu.ops.pallas_kernels import build_delta_pages
+
+    vdt0 = arrays["delta"]["vals"].dtype
+    if not _pallas_stacking_ok(vdt0):
+        return
+    max_rows = meta["max_rows"]
+    empty = np.zeros(0, dtype=np.int64)
+    reps, lefts = [], []
+    for t in shards:
+        d = t.delta
+        if d is None or not d.nnz:
+            reps.append(None)          # all-dummy shard
+            lefts.append(empty)
+            continue
+        rep, left = build_delta_pages(
+            np.asarray(d.cols, dtype=np.int64),
+            np.asarray(d.row_ids, dtype=np.int64),
+            np.asarray(d.vals), ncols, max_rows)
+        if rep is None:
+            # too small / unpageable: keep the whole delta on the XLA
+            # path for this shard (dummy tiles in the kernel)
+            reps.append(None)
+            lefts.append(np.arange(d.nnz, dtype=np.int64))
+            continue
+        reps.append(rep)
+        lefts.append(np.sort(left) if left.size else left)
+    real = [r for r in reps if r is not None]
+    if not real:
+        return
+    q_max = max(r["q"] for r in real)
+    t_max = max(r["plo"].size for r in real)
+    npages = real[0]["npages"]
+    for i, (t, rep) in enumerate(zip(shards, reps)):
+        if rep is not None and (rep["q"] != q_max
+                                or rep["plo"].size != t_max):
+            # widen/pad only the shards whose signature differs
+            d = t.delta
+            rep, left = build_delta_pages(
+                np.asarray(d.cols, dtype=np.int64),
+                np.asarray(d.row_ids, dtype=np.int64),
+                np.asarray(d.vals), ncols, max_rows,
+                q_force=q_max, t_force=t_max)
+            if (rep is None or rep["q"] != q_max
+                    or rep["plo"].size != t_max):
+                return
+            reps[i] = rep
+            lefts[i] = np.sort(left) if left.size else left
+        elif rep is None:
+            # all-dummy rep: every tile padded, rows -> sentinel
+            reps[i] = {
+                "plo": np.zeros(t_max, dtype=np.int32),
+                "sub": np.zeros((t_max, 8, 128), dtype=np.int32),
+                "lane": np.zeros((t_max, 8, 128), dtype=np.int32),
+                "vals": np.zeros((t_max, 8, 128), dtype=vdt0),
+                "rows": np.full(t_max * DELTA_TILE, max_rows,
+                                dtype=np.int32),
+                "q": q_max, "npages": npages,
+            }
+    n = len(reps)
+    stacked = {k: np.stack([r[k] for r in reps])
+               for k in ("plo", "sub", "lane", "vals", "rows")}
+    arrays["delta_pages"] = stacked
+    # leftovers replace the stacked delta (padded, sorted row ids)
+    dn = max(l.size for l in lefts)
+    d_cols = np.zeros((n, dn), dtype=np.int32)
+    d_vals = np.zeros((n, dn), dtype=vdt0)
+    d_rowids = np.zeros((n, dn), dtype=np.int32)
+    for i, (t, l) in enumerate(zip(shards, lefts)):
+        d_rowids[i, :] = max(0, t.nrows - 1)
+        if l.size:
+            d_cols[i, : l.size] = t.delta.cols[l]
+            d_vals[i, : l.size] = t.delta.vals[l]
+            d_rowids[i, : l.size] = t.delta.row_ids[l]
+    arrays["delta"] = {"cols": d_cols, "vals": d_vals,
+                       "row_ids": d_rowids}
+    meta["dpages"] = ("dpages", t_max, q_max, npages)
+
+
+def stack_scatter_plans(arrays, meta) -> None:
+    """Scatter-route plans for the stacked delta pages (``ops/route.py``),
+    unified across shards: same instance count, fold layers (K) and inner
+    color count (W2) — padding with masked (-1) wires — so one SPMD
+    program serves every shard."""
+    if "delta_pages" not in arrays or not meta.get("dpages"):
+        return
+    from sparsex_tpu.ops import route
+
+    rows = arrays["delta_pages"]["rows"]       # (n, T*1024), sentinel-padded
+    n = rows.shape[0]
+    max_rows = meta["max_rows"]
+    empty_i = np.zeros(0, dtype=np.int32)
+    plans = []
+    for i in range(n):
+        dest = rows[i].astype(np.int64)
+        if not ((dest >= 0) & (dest < max_rows)).any():
+            plans.append(((), [], empty_i, empty_i))  # all-dummy shard
+            continue
+        plan = route.build_scatter_plan(dest, max_rows, min_elems=1)
+        if plan is None:
+            return
+        plans.append(plan)
+
+    # unify per-instance static shapes across shards
+    counts = [len(p[0]) for p in plans]
+    imax = max(counts)
+    if imax == 0:
+        return
+    # template meta per instance slot: take maxes over shards
+    by_slot = []
+    for s in range(imax):
+        metas_s = [p[0][s] for p in plans if len(p[0]) > s]
+        S1c = metas_s[0][0]
+        S1p, A2R = metas_s[0][1], metas_s[0][2]
+        D2R, Dp = metas_s[0][3], metas_s[0][4]
+        K = max(m[5] for m in metas_s)
+        W2 = max(m[6] for m in metas_s)
+        a0, a1 = metas_s[0][7], metas_s[0][8]
+        if any((m[0], m[1], m[2], m[3], m[4], m[7], m[8])
+               != (S1c, S1p, A2R, D2R, Dp, a0, a1) for m in metas_s):
+            return  # chunking disagreement: bail to the XLA scatter
+        by_slot.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1))
+
+    L = route.L
+
+    def pad_instance(arrs_i, m_i, slot):
+        S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1 = slot
+        _, _, _, _, _, Ki, W2i, _, _ = m_i
+        out = dict(arrs_i)
+        if W2i != W2:
+            g2b = out["g2b"].reshape(L, W2i, L)
+            g2b = np.pad(g2b, ((0, 0), (0, W2 - W2i), (0, 0)),
+                         constant_values=-1)
+            out["g2b"] = g2b.reshape(L * W2, L)
+        if Ki != K:
+            out["g3"] = np.pad(out["g3"], ((0, K - Ki), (0, 0), (0, 0)),
+                               constant_values=-1)
+        return out
+
+    def dummy_instance(slot):
+        S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1 = slot
+        return {"g1": np.full((S1p, L), -1, np.int8),
+                "g2a": np.full((L * A2R, L), -1, np.int8),
+                "g2b": np.full((L * W2, L), -1, np.int8),
+                "g2c": np.full((L * D2R, L), -1, np.int8),
+                "g3": np.full((K, Dp, L), -1, np.int8)}
+
+    chunks_stacked = []
+    for s, slot in enumerate(by_slot):
+        per_shard = []
+        for p in plans:
+            if len(p[0]) > s:
+                per_shard.append(pad_instance(p[1][s], p[0][s], slot))
+            else:
+                per_shard.append(dummy_instance(slot))
+        chunks_stacked.append({k: np.stack([d[k] for d in per_shard])
+                               for k in ("g1", "g2a", "g2b", "g2c", "g3")})
+
+    rmax = max(p[2].size for p in plans)
+    has_res = rmax > 0
+    if has_res:
+        res_pos = np.zeros((n, rmax), dtype=np.int32)
+        res_dest = np.full((n, rmax), max_rows, dtype=np.int32)  # dropped
+        for i, p in enumerate(plans):
+            res_pos[i, : p[2].size] = p[2]
+            res_dest[i, : p[3].size] = p[3]
+    arrays["delta_scatter"] = {"chunks": chunks_stacked}
+    if has_res:
+        arrays["delta_scatter"]["res_pos"] = res_pos
+        arrays["delta_scatter"]["res_dest"] = res_dest
+    meta["dscatter"] = ("dscatter", tuple(by_slot), has_res)
+    # the routed path never reads the stacked rows
+    arrays["delta_pages"] = {k: v for k, v in
+                             arrays["delta_pages"].items() if k != "rows"}
+
+
+def stack_unit_pages(arrays, meta, ncols: int) -> None:
+    """Unit-page gather plans for the stacked run/block tables.
+
+    A table key upgrades only when EVERY shard pages completely (no
+    spilled tiles; stacked unit counts are already padded to whole tile
+    groups), so one SPMD program covers all shards.  Unit arrays are
+    reordered per shard to the plan order."""
+    from sparsex_tpu.ops.pallas_kernels import build_unit_pages
+
+    if not _pallas_stacking_ok(arrays["delta"]["vals"].dtype):
+        return
+    n = meta["n"]
+
+    def upgrade(keys, tables, widths_of, gidx_of):
+        new_keys = []
+        for key, t in zip(keys, tables):
+            W = widths_of(key)
+            U = t["cols"].shape[1]
+            if W is None or W < 2 or U == 0:
+                new_keys.append(key)
+                continue
+            orders, plans = [], []
+            ok = True
+            qmax = 0
+            for i in range(n):
+                flat = np.clip(gidx_of(key, t["cols"][i]), 0,
+                               ncols - 1).reshape(-1)
+                order, n_page, plan = build_unit_pages(flat, W, ncols)
+                if plan is None or n_page != U:
+                    ok = False
+                    break
+                orders.append(order)
+                plans.append(plan)
+                qmax = max(qmax, plan["q"])
+            if not ok:
+                new_keys.append(key)
+                continue
+            # second pass only where q needs widening
+            for i in range(n):
+                if plans[i]["q"] != qmax:
+                    flat = np.clip(gidx_of(key, t["cols"][i]), 0,
+                                   ncols - 1).reshape(-1)
+                    order, n_page, plan = build_unit_pages(
+                        flat, W, ncols, q_force=qmax)
+                    if plan is None or n_page != U or plan["q"] != qmax:
+                        ok = False
+                        break
+                    orders[i] = order
+                    plans[i] = plan
+            if not ok:
+                new_keys.append(key)
+                continue
+            for i in range(n):
+                t["rows"][i] = t["rows"][i][orders[i]]
+                t["cols"][i] = t["cols"][i][orders[i]]
+                t["vals"][i] = t["vals"][i][orders[i]]
+            t["plan"] = {k: np.stack([p[k] for p in plans])
+                         for k in ("plo", "sub", "lane")}
+            p0 = plans[0]
+            new_keys.append(key + ((p0["T"], qmax, p0["g"],
+                                    p0["npages"]),))
+        return tuple(new_keys)
+
+    def run_width(key):
+        enc_i, delta, width = key
+        sr, sc = run_step(EncType(enc_i))
+        return width if sc != 0 else None
+
+    def run_gidx(key, cols):
+        enc_i, delta, width = key
+        sr, sc = run_step(EncType(enc_i))
+        lane = np.arange(width, dtype=np.int64)
+        return cols[:, None].astype(np.int64) + (sc * delta) * lane
+
+    def block_gidx(key, cols):
+        enc_i, br, bc = key
+        return (cols[:, None].astype(np.int64)
+                + np.arange(bc, dtype=np.int64)[None, :])
+
+    meta["run_keys"] = upgrade(
+        meta["run_keys"], arrays["runs"], run_width, run_gidx)
+    meta["block_keys"] = upgrade(
+        meta["block_keys"], arrays["blocks"],
+        lambda key: key[2] if key[2] >= 2 else None, block_gidx)
+
+
 class ShardedCsx:
     """SPMD SpMV executor over a 1-D device mesh.
 
@@ -241,8 +645,11 @@ class ShardedCsx:
       shared read of x, ``CsxKernels.cpp``; XLA broadcasts once).
     - ``halo``: x stays sharded in chunks; each device fetches only the
       ``halo_k`` neighbor chunks its column span actually references via a
-      ``ppermute`` ring over ICI — the TPU-native narrow exchange (SURVEY
-      §5: only the referenced column ranges need exchanging).
+      ``ppermute`` ring over ICI.  Tables are split at BUILD time into a
+      local set (own-chunk coordinates — computed straight off the
+      resident x chunk, independent of the ring, so XLA overlaps the
+      exchange with it) and a halo set (window coordinates).  Both sets
+      run the full paged/routed kernel stack.
     - ``auto`` (default): halo for unsymmetric matrices whose spans need
       fewer than all chunks, replicated otherwise.
     """
@@ -265,15 +672,6 @@ class ShardedCsx:
                 f"{n_dev} devices; tune with spx.rt.nr_threads={n_dev}")
         self.mat = mat
         self.symmetric = mat.symmetric
-        self.arrays, self.meta = stack_shards(mat)
-        self.gather_idx = _gather_index(self.meta)
-        if self.symmetric:
-            max_rows = self.meta["max_rows"]
-            dv = np.zeros((n_dev, max_rows),
-                          dtype=self.arrays["delta"]["vals"].dtype)
-            for i, d in enumerate(mat.dvalues):
-                dv[i, : d.size] = d
-            self.arrays["dvalues"] = dv
 
         # x placement mode + halo width (static, from the column spans the
         # shards actually reference).
@@ -298,12 +696,43 @@ class ShardedCsx:
                 "use auto or replicated")
         self.x_mode = mode
 
-        # Page-bucketed layouts for the SPMD program (replicated-x only):
-        # every shard is rebuilt with the union signature so the one
-        # program fits all shards (dummy tiles/units contribute 0).
-        self._stack_delta_pages(mat)
-        if not self.symmetric:
-            self._stack_unit_pages(mat)
+        if mode == "halo":
+            locs, halos = [], []
+            for i, t in enumerate(mat.shards):
+                lt, ht = _split_tables_for_halo(t, i, k, self.chunk)
+                locs.append(lt)
+                halos.append(ht)
+            self.arrays, self.meta = stack_shards(locs, mat.nrows,
+                                                  self.chunk)
+            win = (2 * k + 1) * self.chunk
+            h_arrays, h_meta = stack_shards(
+                halos, mat.nrows, win,
+                value_dtype=self.arrays["delta"]["vals"].dtype)
+            stack_delta_pages(self.arrays, self.meta, locs, self.chunk)
+            stack_scatter_plans(self.arrays, self.meta)
+            stack_unit_pages(self.arrays, self.meta, self.chunk)
+            stack_delta_pages(h_arrays, h_meta, halos, win)
+            stack_scatter_plans(h_arrays, h_meta)
+            stack_unit_pages(h_arrays, h_meta, win)
+            self.h_arrays, self.h_meta = h_arrays, h_meta
+            self.arrays = {"local": self.arrays, "halo": h_arrays}
+        else:
+            self.arrays, self.meta = stack_shards(mat.shards, mat.nrows,
+                                                  mat.ncols)
+            if not self.symmetric:
+                stack_delta_pages(self.arrays, self.meta, mat.shards,
+                                  mat.ncols)
+                stack_scatter_plans(self.arrays, self.meta)
+                stack_unit_pages(self.arrays, self.meta, mat.ncols)
+            self.h_arrays = self.h_meta = None
+        self.gather_idx = _gather_index(self.meta)
+        if self.symmetric:
+            max_rows = self.meta["max_rows"]
+            dv = np.zeros((n_dev, max_rows),
+                          dtype=self.arrays["delta"]["vals"].dtype)
+            for i, d in enumerate(mat.dvalues):
+                dv[i, : d.size] = d
+            self.arrays["dvalues"] = dv
 
         # Place each shard's tables in its device's memory (the reference's
         # NUMA onnode placement, numa_util.c); log the placement like the
@@ -319,188 +748,6 @@ class ShardedCsx:
                      self.x_mode)
         self._fn = self._build()
 
-    def _stack_delta_pages(self, mat: CsxMatrix) -> None:
-        """Rebuild every shard's delta into the page-bucketed layout with a
-        union (T, q) signature and stack the plans with a leading shard
-        axis.  Applies only when x is replicated (the kernel gathers from
-        the full x) and the matrix is unsymmetric; any shard failing the
-        layout disables it for all (one SPMD program)."""
-        self._dpages_sig = None
-        if self.x_mode != "replicated" or self.symmetric:
-            return
-        from sparsex_tpu.ops.exec import _pallas_mode
-        from sparsex_tpu.ops.pallas_kernels import (build_delta_pages,
-                                                    dia_pallas_ok,
-                                                    pallas_dtype_ok)
-        if (_pallas_mode() is False or not dia_pallas_ok()
-                or not pallas_dtype_ok(self.arrays["delta"]["vals"].dtype)):
-            return
-        max_rows = self.meta["max_rows"]
-        empty = np.zeros(0, dtype=np.int64)
-        reps, lefts = [], []
-        for t in mat.shards:
-            d = t.delta
-            if d is None or not d.nnz:
-                reps.append(None)          # all-dummy shard
-                lefts.append(empty)
-                continue
-            rep, left = build_delta_pages(
-                np.asarray(d.cols, dtype=np.int64),
-                np.asarray(d.row_ids, dtype=np.int64),
-                np.asarray(d.vals), mat.ncols, max_rows)
-            if rep is None:
-                # too small / unpageable: keep the whole delta on the XLA
-                # path for this shard (dummy tiles in the kernel)
-                reps.append(None)
-                lefts.append(np.arange(d.nnz, dtype=np.int64))
-                continue
-            reps.append(rep)
-            lefts.append(np.sort(left) if left.size else left)
-        real = [r for r in reps if r is not None]
-        if not real:
-            return
-        q_max = max(r["q"] for r in real)
-        t_max = max(r["plo"].size for r in real)
-        npages = real[0]["npages"]
-        vdt0 = self.arrays["delta"]["vals"].dtype
-        for i, (t, rep) in enumerate(zip(mat.shards, reps)):
-            if rep is not None and (rep["q"] != q_max
-                                    or rep["plo"].size != t_max):
-                # widen/pad only the shards whose signature differs
-                d = t.delta
-                rep, left = build_delta_pages(
-                    np.asarray(d.cols, dtype=np.int64),
-                    np.asarray(d.row_ids, dtype=np.int64),
-                    np.asarray(d.vals), mat.ncols, max_rows,
-                    q_force=q_max, t_force=t_max)
-                if (rep is None or rep["q"] != q_max
-                        or rep["plo"].size != t_max):
-                    return
-                reps[i] = rep
-                lefts[i] = np.sort(left) if left.size else left
-            elif rep is None:
-                # all-dummy rep: every tile padded, rows -> sentinel
-                reps[i] = {
-                    "plo": np.zeros(t_max, dtype=np.int32),
-                    "sub": np.zeros((t_max, 8, 128), dtype=np.int32),
-                    "lane": np.zeros((t_max, 8, 128), dtype=np.int32),
-                    "vals": np.zeros((t_max, 8, 128), dtype=vdt0),
-                    "rows": np.full(t_max * DELTA_TILE, max_rows,
-                                    dtype=np.int32),
-                    "q": q_max, "npages": npages,
-                }
-        n = len(reps)
-        stacked = {k: np.stack([r[k] for r in reps])
-                   for k in ("plo", "sub", "lane", "vals", "rows")}
-        self.arrays["delta_pages"] = stacked
-        # leftovers replace the stacked delta (padded, sorted row ids)
-        dn = max(l.size for l in lefts)
-        vdt = self.arrays["delta"]["vals"].dtype
-        d_cols = np.zeros((n, dn), dtype=np.int32)
-        d_vals = np.zeros((n, dn), dtype=vdt)
-        d_rowids = np.zeros((n, dn), dtype=np.int32)
-        for i, (t, l) in enumerate(zip(mat.shards, lefts)):
-            d_rowids[i, :] = max(0, t.nrows - 1)
-            if l.size:
-                d_cols[i, : l.size] = t.delta.cols[l]
-                d_vals[i, : l.size] = t.delta.vals[l]
-                d_rowids[i, : l.size] = t.delta.row_ids[l]
-        self.arrays["delta"] = {"cols": d_cols, "vals": d_vals,
-                                "row_ids": d_rowids}
-        self._dpages_sig = ("dpages", t_max, q_max, npages)
-        self.meta["dpages"] = self._dpages_sig
-
-    def _stack_unit_pages(self, mat: CsxMatrix) -> None:
-        """Unit-page gather plans for the stacked run/block tables.
-
-        A table key upgrades only when EVERY shard pages completely (no
-        spilled tiles; stacked unit counts are already padded to whole tile
-        groups), so one SPMD program covers all shards.  Unit arrays are
-        reordered per shard to the plan order."""
-        if self.x_mode != "replicated":
-            return
-        from sparsex_tpu.ops.exec import _pallas_mode
-        from sparsex_tpu.ops.pallas_kernels import (build_unit_pages,
-                                                    dia_pallas_ok,
-                                                    pallas_dtype_ok)
-        if (_pallas_mode() is False or not dia_pallas_ok()
-                or not pallas_dtype_ok(self.arrays["delta"]["vals"].dtype)):
-            return
-        ncols = self.meta["ncols"]
-        n = self.meta["n"]
-
-        def upgrade(keys, tables, widths_of, gidx_of):
-            new_keys = []
-            for key, t in zip(keys, tables):
-                W = widths_of(key)
-                U = t["cols"].shape[1]
-                if W is None or W < 2 or U == 0:
-                    new_keys.append(key)
-                    continue
-                orders, plans = [], []
-                ok = True
-                qmax = 0
-                for i in range(n):
-                    flat = np.clip(gidx_of(key, t["cols"][i]), 0,
-                                   ncols - 1).reshape(-1)
-                    order, n_page, plan = build_unit_pages(flat, W, ncols)
-                    if plan is None or n_page != U:
-                        ok = False
-                        break
-                    orders.append(order)
-                    plans.append(plan)
-                    qmax = max(qmax, plan["q"])
-                if not ok:
-                    new_keys.append(key)
-                    continue
-                # second pass only where q needs widening
-                for i in range(n):
-                    if plans[i]["q"] != qmax:
-                        flat = np.clip(gidx_of(key, t["cols"][i]), 0,
-                                       ncols - 1).reshape(-1)
-                        order, n_page, plan = build_unit_pages(
-                            flat, W, ncols, q_force=qmax)
-                        if plan is None or n_page != U or plan["q"] != qmax:
-                            ok = False
-                            break
-                        orders[i] = order
-                        plans[i] = plan
-                if not ok:
-                    new_keys.append(key)
-                    continue
-                for i in range(n):
-                    t["rows"][i] = t["rows"][i][orders[i]]
-                    t["cols"][i] = t["cols"][i][orders[i]]
-                    t["vals"][i] = t["vals"][i][orders[i]]
-                t["plan"] = {k: np.stack([p[k] for p in plans])
-                             for k in ("plo", "sub", "lane")}
-                p0 = plans[0]
-                new_keys.append(key + ((p0["T"], qmax, p0["g"],
-                                        p0["npages"]),))
-            return tuple(new_keys)
-
-        def run_width(key):
-            enc_i, delta, width = key
-            sr, sc = run_step(EncType(enc_i))
-            return width if sc != 0 else None
-
-        def run_gidx(key, cols):
-            enc_i, delta, width = key
-            sr, sc = run_step(EncType(enc_i))
-            lane = np.arange(width, dtype=np.int64)
-            return cols[:, None].astype(np.int64) + (sc * delta) * lane
-
-        def block_gidx(key, cols):
-            enc_i, br, bc = key
-            return (cols[:, None].astype(np.int64)
-                    + np.arange(bc, dtype=np.int64)[None, :])
-
-        self.meta["run_keys"] = upgrade(
-            self.meta["run_keys"], self.arrays["runs"], run_width, run_gidx)
-        self.meta["block_keys"] = upgrade(
-            self.meta["block_keys"], self.arrays["blocks"],
-            lambda key: key[2] if key[2] >= 2 else None, block_gidx)
-
     def _build(self):
         import jax
         import jax.numpy as jnp
@@ -508,6 +755,7 @@ class ShardedCsx:
         shard_map = jax.shard_map
 
         meta = self.meta
+        h_meta = self.h_meta
         axis = self.axis
         symmetric = self.symmetric
         # uniform shards lay out contiguously: a reshape+trim replaces the
@@ -522,12 +770,25 @@ class ShardedCsx:
             acc, z = _local_spmv(meta, tbl, x, axis_name=axis,
                                  symmetric=symmetric, dvals=dvals)
             if symmetric:
-                # cross-shard reduction of transposed partials
-                # (ref VecAddFromMap): psum over the mesh.
-                z = jax.lax.psum(z, axis)
-                acc = acc + jax.lax.dynamic_slice(
-                    jnp.pad(z, (0, meta["max_rows"])),
-                    (tbl["row_start"][0],), (meta["max_rows"],))
+                # Cross-shard reduction of transposed partials (ref
+                # VecAddFromMap, src/internals/CsxSpmv.cpp:66-85): a
+                # reduce-scatter delivers each device only its own row
+                # block — half the collective bytes of the full psum.
+                # Re-layout z (global rows) into shard-aligned padded
+                # blocks first; the pieces are static slices (bandwidth,
+                # not gather).
+                pieces = []
+                for i in range(meta["n"]):
+                    r0 = meta["row_start"][i]
+                    nl = meta["nrows_loc"][i]
+                    piece = jax.lax.slice(z, (r0,), (r0 + nl,))
+                    if nl < meta["max_rows"]:
+                        piece = jnp.pad(piece, (0, meta["max_rows"] - nl))
+                    pieces.append(piece)
+                zp = jnp.concatenate(pieces)
+                z_own = jax.lax.psum_scatter(zp, axis, scatter_dimension=0,
+                                             tiled=True)
+                acc = acc + z_own
             return acc[None]
 
         n = meta["n"]
@@ -536,8 +797,8 @@ class ShardedCsx:
 
         def device_fn_halo(tbl, xloc):
             # xloc: this device's (chunk,) slice of x.  Ring-exchange the k
-            # neighbor chunks each way over ICI, then compute against the
-            # (2k+1)*chunk window with column indices rebased to it.
+            # neighbor chunks each way over ICI; the LOCAL contribution
+            # depends only on xloc, so XLA overlaps it with the ring.
             tbl = jax.tree.map(lambda a: a[0], tbl)
             parts = [xloc]
             left = right = xloc
@@ -547,29 +808,10 @@ class ShardedCsx:
                 left = jax.lax.ppermute(left, axis, fwd)
                 right = jax.lax.ppermute(right, axis, bwd)
                 parts = [left] + parts + [right]
+            acc, _ = _local_spmv(meta, tbl["local"], xloc)
             xwin = jnp.concatenate(parts) if k else xloc
-            i = jax.lax.axis_index(axis)
-            start = ((i - k) * chunk).astype(jnp.int32)
-            # rebase every column-referencing index into the window
-            tbl = dict(tbl)
-            if tbl["delta"] is not None:
-                tbl["delta"] = dict(tbl["delta"],
-                                    cols=tbl["delta"]["cols"] - start)
-            tbl["runs"] = [dict(t, cols=t["cols"] - start)
-                           for t in tbl["runs"]]
-            tbl["blocks"] = [dict(t, cols=t["cols"] - start)
-                             for t in tbl["blocks"]]
-            tbl["dias"] = [dict(t, offsets=t["offsets"] - start)
-                           for t in tbl["dias"]]
-            kmeta = (meta["max_rows"], (2 * k + 1) * chunk,
-                     meta["run_keys"], meta["block_keys"], meta["dia_keys"])
-            from sparsex_tpu.ops.kernels import local_contrib
-            acc, _ = local_contrib(
-                kmeta, {kk: tbl[kk] for kk in
-                        ("delta", "runs", "blocks", "dias")},
-                xwin, nrows_part=meta["max_rows"],
-                ncols=(2 * k + 1) * chunk, row_start=tbl["row_start"][0])
-            return acc[None]
+            acc_h, _ = _local_spmv(h_meta, tbl["halo"], xwin)
+            return (acc + acc_h)[None]
 
         if self.x_mode == "halo":
             smapped = shard_map(

@@ -118,3 +118,85 @@ def test_forced_halo_on_symmetric_raises():
     mesh = Mesh(np.array(jax.devices()[:2]), ("shards",))
     with pytest.raises(ValueError, match="halo"):
         ShardedCsx(mat, mesh=mesh)
+
+
+def test_halo_paged_routed_interpret(monkeypatch):
+    """Halo mode with the full paged/routed kernel stack active (the same
+    layouts the TPU path runs): local + halo table sets, delta pages,
+    scatter routes, unit pages — against the replicated output and the
+    oracle."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    import sparsex_tpu.ops.pallas_kernels as pk
+    from sparsex_tpu.ops import route as route_mod
+
+    monkeypatch.setattr(pk, "MIN_PAGE_NNZ", 64)
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    monkeypatch.setattr(route_mod, "MIN_ELEMS", 128)
+    cfg = Config.reset()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.rt.nr_threads", "4")
+    cfg.set("spx.preproc.xform", "all")
+
+    n = 4096
+    rows, cols, vals = banded_random(n, (0, 1, -1, 7), extra=3000, seed=3)
+    vals = vals.astype(np.float32)
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("shards",))
+    x = np.random.default_rng(4).standard_normal(n).astype(np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        cfg.set("spx.tpu.x_mode", "halo")
+        sh_halo = ShardedCsx(mat, mesh=mesh)
+        assert sh_halo.x_mode == "halo"
+        # the halo build must carry the optimized layouts
+        assert (sh_halo.meta.get("dpages") or sh_halo.h_meta.get("dpages")), \
+            "no paged delta in either table set"
+        y_halo = np.asarray(sh_halo.matvec(jnp.asarray(x)))
+        cfg.set("spx.tpu.x_mode", "replicated")
+        y_rep = np.asarray(ShardedCsx(mat, mesh=mesh).matvec(jnp.asarray(x)))
+
+    ref = np.zeros(n, np.float32)
+    np.add.at(ref, rows, vals * x[cols])
+    assert max_rel_error(y_halo, ref) < 1e-4  # f32 accumulation order
+    assert max_rel_error(y_halo, y_rep) < 1e-4
+
+
+def test_sharded_scatter_route_interpret(monkeypatch):
+    """Replicated sharded path rides the scatter-routing network."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    import sparsex_tpu.ops.pallas_kernels as pk
+    from sparsex_tpu.ops import route as route_mod
+
+    monkeypatch.setattr(pk, "MIN_PAGE_NNZ", 64)
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    monkeypatch.setattr(route_mod, "MIN_ELEMS", 128)
+    cfg = Config.reset()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.rt.nr_threads", "4")
+    cfg.set("spx.preproc.xform", "none")
+    cfg.set("spx.tpu.x_mode", "replicated")
+
+    n = 4096
+    rng = np.random.default_rng(5)
+    rows = rng.integers(0, n, 9000)
+    cols = rng.integers(0, n, 9000)
+    _, u = np.unique(rows * n + cols, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("shards",))
+    with pltpu.force_tpu_interpret_mode():
+        sh = ShardedCsx(mat, mesh=mesh)
+        assert sh.meta.get("dscatter"), "sharded route plan not built"
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(sh.matvec(jnp.asarray(x)))
+    ref = np.zeros(n, np.float32)
+    np.add.at(ref, rows, vals * x[cols])
+    assert max_rel_error(y, ref) < 1e-4  # f32 accumulation order

@@ -232,7 +232,7 @@ def test_sharded_delta_pages_interpret(monkeypatch):
     vals = rng.standard_normal(rows.size)
     mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
     sh = ShardedCsx(mat, mesh=Mesh(np.array(jax.devices()[:4]), ("shards",)))
-    assert sh._dpages_sig is not None, "sharded pages not built"
+    assert sh.meta.get("dpages"), "sharded pages not built"
     x = rng.standard_normal(n)
     with pltpu.force_tpu_interpret_mode():
         y = np.asarray(sh.matvec(x))
