@@ -110,18 +110,92 @@ class CsxMatrix:
         if y is not None and np.shape(y)[0] != self.nrows:
             seterror(ErrorCode.SPX_ERR_VEC_DIM,
                      f"y has {np.shape(y)[0]} entries, expected {self.nrows}")
-        parts = []
-        for tables, ex in zip(self.shards, self.executors):
-            r0 = tables.row_start
-            y_part = None
-            if y is not None:
-                y_part = jnp.asarray(y)[r0: r0 + tables.nrows]
-            parts.append(ex(x, alpha=alpha, beta=beta, y=y_part))
-        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        if len(self.shards) == 1 or x.ndim == 2:
+            parts = []
+            for tables, ex in zip(self.shards, self.executors):
+                r0 = tables.row_start
+                y_part = None
+                if y is not None:
+                    y_part = jnp.asarray(y)[r0: r0 + tables.nrows]
+                parts.append(ex(x, alpha=alpha, beta=beta, y=y_part))
+            return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        # multi-shard 1-D: ONE jitted program for all shards (the
+        # reference's single synchronized kernel dispatch,
+        # CsxKernels.cpp:35-55) instead of a Python loop of dispatches.
+        from sparsex_tpu.ops.exec import (_compiled_multi,
+                                          _resolve_use_pallas)
+        metas, arrs_list = [], []
+        for ex in self.executors:
+            m, a = ex.meta, ex.arrays
+            if x.ndim == 1 and ex._pages_active():
+                m, a = ex._pages_meta, ex._pages_arrays
+            metas.append(m)
+            arrs_list.append(a)
+        fn = _compiled_multi(tuple(metas), str(x.dtype),
+                             _resolve_use_pallas(self.shards[0]))
+        y0 = (jnp.zeros(self.nrows, dtype=x.dtype) if y is None
+              else jnp.asarray(y))
+        return fn(arrs_list, x, x.dtype.type(alpha), x.dtype.type(beta),
+                  y0)
 
     def mult(self, x, alpha=1.0):
         """y = alpha*A*x (``spx_matvec_mult`` parity: y zeroed first)."""
         return self.matvec(x, alpha=alpha, beta=0.0)
+
+    def measure_load_imbalance(self, x=None, loops: int = 32):
+        """Measured per-shard kernel seconds and ``(max-min)/min``.
+
+        Parity with the reference's per-thread ``spm_mt_thread_t.secs``
+        report (``include/sparsex/internals/SpmMt.hpp:31-63``,
+        ``test/src/SpmvTest.cpp:35-60``) — here each shard's executor is
+        timed separately with a chained two-point slope (robust to the
+        axon tunnel, where ``block_until_ready`` is a no-op).  Logged at
+        INFO as the runtime complement of the static nnz-based
+        ``parallel.partition.load_imbalance``.
+        """
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        if x is None:
+            dt = (self.shards[0].delta.vals.dtype
+                  if self.shards[0].delta is not None else np.float32)
+            x = np.random.default_rng(0).standard_normal(
+                self.ncols).astype(dt)
+        x = jnp.asarray(x)
+
+        def _sync(a):
+            return float(np.asarray(a).ravel()[0])
+
+        secs = []
+        for ex in self.executors:
+            def make(k, ex=ex):
+                def run():
+                    c = jnp.ones((), dtype=x.dtype)
+                    for _ in range(k):  # chained: nothing can be elided
+                        y = ex(x * c)
+                        c = (c * jnp.asarray(0.9999, dtype=x.dtype)
+                             + y[0] * jnp.asarray(1e-9, dtype=x.dtype))
+                    return c
+                return jax.jit(run)
+            f1, f2 = make(max(loops // 4, 1)), make(loops)
+            _sync(f1())
+            _sync(f2())
+            t0 = time.perf_counter()
+            _sync(f1())
+            t1 = time.perf_counter()
+            _sync(f2())
+            t2 = time.perf_counter()
+            per = max((t2 - t1) - (t1 - t0), 1e-9) / (loops - loops // 4)
+            secs.append(per)
+        mn, mx = min(secs), max(secs)
+        imb = (mx - mn) / mn if mn > 0 else 0.0
+        log_info("==== RUNTIME LOAD BALANCE ====")
+        for i, s in enumerate(secs):
+            log_info("shard %d: %.3e s/SpMV", i, s)
+        log_info("load imbalance (max-min)/min = %.3f", imb)
+        return secs, imb
 
     def matmat(self, X, alpha=1.0, beta=0.0, Y=None):
         """SpMM: Y = alpha*A*X + beta*Y with X (ncols, k).

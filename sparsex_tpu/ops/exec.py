@@ -48,6 +48,31 @@ def _compiled(meta: Tuple, dtype_str: str, use_pallas: bool = False):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=64)
+def _compiled_multi(metas: Tuple, dtype_str: str, use_pallas: bool):
+    """One jitted program covering ALL shards of a single-chip matrix.
+
+    The reference releases its thread pool once per kernel call
+    (``MatVecKernel`` barriers, ``CsxKernels.cpp:35-55``); the TPU
+    analogue of that single synchronized dispatch is one XLA program that
+    evaluates every shard's kernel composition and concatenates — instead
+    of one dispatch per shard from Python.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def fn(arrs_list, x, alpha, beta, y0):
+        parts = []
+        for meta, arrs in zip(metas, arrs_list):
+            acc, _ = local_contrib(meta, arrs, x, nrows_part=meta[0],
+                                   ncols=meta[1], use_pallas=use_pallas)
+            parts.append(acc)
+        acc = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        return alpha * acc + beta * y0
+
+    return jax.jit(fn)
+
+
 def _pallas_mode() -> Optional[bool]:
     """None = auto; True/False = forced."""
     from sparsex_tpu.config import Config
@@ -201,7 +226,7 @@ class CsxExecutor:
                     entry_arrays = {
                         "rows": t["rows"][order], "cols": t["cols"][order],
                         "vals": t["vals"][order],
-                        "plan": {k: plan[k] for k in ("plo", "sub", "lane")},
+                        "plan": {k: plan[k] for k in ("plo", "sl")},
                     }
                     plan_entry = (plan["T"], plan["q"], plan["g"],
                                   plan["npages"])
@@ -235,7 +260,7 @@ class CsxExecutor:
                     entry_arrays = {
                         "rows": t["rows"][order], "cols": t["cols"][order],
                         "vals": t["vals"][order],
-                        "plan": {k: plan[k] for k in ("plo", "sub", "lane")},
+                        "plan": {k: plan[k] for k in ("plo", "sl")},
                     }
                     plan_entry = (plan["T"], plan["q"], plan["g"],
                                   plan["npages"])
@@ -280,14 +305,40 @@ class CsxExecutor:
         self._maybe_build_pages()
         return self._pages_meta is not None
 
+    # Above this RHS count the plain 2-D XLA path (one pass, per-element
+    # gathers) beats re-running the paged/routed SpMV per column.
+    MM_COLUMN_LOOP_MAX = 64
+
     def __call__(self, x, alpha=1.0, beta=0.0, y=None):
         import jax.numpy as jnp
         x = jnp.asarray(x)
         meta, arrays = self.meta, self.arrays
-        # SpMM (x is (ncols, k)) rides the plain XLA kernels: row
-        # gathers/scatters amortize over k, and the Pallas page/route
-        # layouts move scalars.
-        if x.ndim == 1 and self._pages_active():
+        if x.ndim == 2:
+            # SpMM: measured on v5e, XLA's (row, k)-slice gathers/scatters
+            # still cost per ELEMENT (~2.4 ns), so for moderate k it is
+            # much faster to run the paged+routed SpMV once per column.
+            # ``lax.map`` keeps ONE pipeline instance in the trace (a
+            # Python loop would compile k copies).
+            if (x.shape[1] <= self.MM_COLUMN_LOOP_MAX
+                    and self._pages_active()):
+                import jax
+                meta, arrays = self._pages_meta, self._pages_arrays
+                fn = _compiled(meta, self._dtype,
+                               _resolve_use_pallas(self.tables))
+                zeros = jnp.zeros(meta[0], dtype=x.dtype)
+                a = x.dtype.type(alpha)
+                b0 = x.dtype.type(0.0)
+
+                @jax.jit
+                def mm(arrays, xT):
+                    return jax.lax.map(
+                        lambda c: fn(arrays, c, a, b0, zeros), xT)
+
+                out = mm(arrays, x.T).T
+                if y is not None and beta != 0.0:
+                    out = out + x.dtype.type(beta) * jnp.asarray(y)
+                return out
+        elif self._pages_active():
             meta, arrays = self._pages_meta, self._pages_arrays
         shape = meta[0] if x.ndim == 1 else (meta[0], x.shape[1])
         y0 = (jnp.zeros(shape, dtype=x.dtype)

@@ -162,8 +162,11 @@ def build_delta_pages(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
     # all-zero dummy tiles (vals 0, rows = sentinel -> dropped)
     T_out = max(T, t_force)
     plo_arr = np.zeros(T_out, dtype=np.int32)
-    sub = np.zeros((T_out, DELTA_TILE), dtype=np.int32)
-    lane = np.zeros((T_out, DELTA_TILE), dtype=np.int32)
+    # combined window offset sl = sub*128 + lane (< q*1024 <= 8192): ONE
+    # int32 stream instead of separate sub/lane arrays — the delta path is
+    # bandwidth-bound metadata (the reference picks 8/16/32-bit deltas for
+    # the same reason, GetDeltaSize CsxManager.hpp:635-682).
+    sl = np.zeros((T_out, DELTA_TILE), dtype=np.int32)
     v = np.zeros((T_out, DELTA_TILE), dtype=vals.dtype)
     r = np.full((T_out, DELTA_TILE), nrows_part, dtype=np.int32)
     for ti, (t0, t1, plo) in enumerate(keep_tiles):
@@ -173,14 +176,12 @@ def build_delta_pages(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
         c = cols[sel].astype(np.int64)
         off = c - plo * PAGE  # in [0, q*PAGE)
         n = sel.size
-        sub[ti, :n] = (off // 128).astype(np.int32)   # row in (q*8, 128)
-        lane[ti, :n] = (off % 128).astype(np.int32)
+        sl[ti, :n] = off.astype(np.int32)
         v[ti, :n] = vals[sel]
         r[ti, :n] = rows[sel]
     rep = {
         "plo": plo_arr,
-        "sub": sub.reshape(T_out, 8, 128),
-        "lane": lane.reshape(T_out, 8, 128),
+        "sl": sl.reshape(T_out, 8, 128),
         "vals": v.reshape(T_out, 8, 128),
         "rows": r.reshape(T_out * DELTA_TILE),
         "q": int(q),
@@ -207,11 +208,12 @@ def _build_delta_kernel(T: int, q: int, dtype_str: str):
 
     dtype = jnp.dtype(dtype_str)
 
-    def kernel(plo_ref, sub_ref, lane_ref, val_ref, *page_refs_and_out):
+    def kernel(plo_ref, sl_ref, val_ref, *page_refs_and_out):
         page_refs = page_refs_and_out[:q]
         out_ref = page_refs_and_out[q]
-        sub = sub_ref[0]
-        lane = lane_ref[0]
+        sl = sl_ref[0]
+        sub = jax.lax.shift_right_logical(sl, jnp.int32(7))
+        lane = jax.lax.bitwise_and(sl, jnp.int32(127))
         total = jnp.zeros((8, 128), dtype=dtype)
         for j in range(q):
             xpage = page_refs[j][0]  # (8, 128)
@@ -223,7 +225,7 @@ def _build_delta_kernel(T: int, q: int, dtype_str: str):
         out_ref[0] = total * val_ref[0]
 
     tile_specs = [pl.BlockSpec((1, 8, 128), lambda i, m: (i, 0, 0),
-                               memory_space=pltpu.VMEM) for _ in range(3)]
+                               memory_space=pltpu.VMEM) for _ in range(2)]
     page_specs = [pl.BlockSpec(
         (1, 8, 128), functools.partial(lambda i, m, j=j: (m[i] + j, 0, 0)),
         memory_space=pltpu.VMEM) for j in range(q)]
@@ -242,8 +244,8 @@ def _build_delta_kernel(T: int, q: int, dtype_str: str):
         out_shape=jax.ShapeDtypeStruct((T, 8, 128), dtype),
     )
 
-    def fn(plo, sub, lane, vals, x2):
-        return call(plo, sub, lane, vals, *([x2] * q))
+    def fn(plo, sl, vals, x2):
+        return call(plo, sl, vals, *([x2] * q))
 
     return fn
 
@@ -267,8 +269,7 @@ def delta_pages_products(rep_meta, rep, x, ncols: int, x2=None):
     if x2 is None:
         x2 = pad_x_pages(x, ncols, q, npages)
     fn = _build_delta_kernel(T, q, str(np.dtype(x.dtype)))
-    return fn(rep["plo"], rep["sub"], rep["lane"], rep["vals"],
-              x2).reshape(-1)
+    return fn(rep["plo"], rep["sl"], rep["vals"], x2).reshape(-1)
 
 
 def delta_pages_spmv(rep_meta, rep, x, nrows_part: int, ncols: int, acc,
@@ -328,8 +329,7 @@ def build_unit_pages(flat_cols: np.ndarray, W: int, ncols: int,
     q = max(int(umax[sel].max() // PAGE) - plo + 1
             for sel, plo in pageable)
     q = max(q, q_force)
-    sub = np.zeros((T, DELTA_TILE), dtype=np.int32)
-    lane = np.zeros((T, DELTA_TILE), dtype=np.int32)
+    sl = np.zeros((T, DELTA_TILE), dtype=np.int32)
     plo_arr = np.zeros(T, dtype=np.int32)
     unit_order = np.concatenate(
         [np.concatenate([sel for sel, _ in pageable])]
@@ -339,12 +339,10 @@ def build_unit_pages(flat_cols: np.ndarray, W: int, ncols: int,
         plo_arr[ti] = plo
         off = (cu[sel].reshape(-1) - plo * PAGE).astype(np.int64)
         n = off.size  # g * W
-        sub[ti, :n] = (off // 128).astype(np.int32)
-        lane[ti, :n] = (off % 128).astype(np.int32)
+        sl[ti, :n] = off.astype(np.int32)
     plan = {
         "plo": plo_arr,
-        "sub": sub.reshape(T, 8, 128),
-        "lane": lane.reshape(T, 8, 128),
+        "sl": sl.reshape(T, 8, 128),
         "T": T, "q": int(q), "g": int(g), "npages": int(npages),
     }
     return unit_order, T * g, plan
@@ -361,11 +359,12 @@ def _build_gather_kernel(T: int, q: int, dtype_str: str):
 
     dtype = jnp.dtype(dtype_str)
 
-    def kernel(plo_ref, sub_ref, lane_ref, *page_refs_and_out):
+    def kernel(plo_ref, sl_ref, *page_refs_and_out):
         page_refs = page_refs_and_out[:q]
         out_ref = page_refs_and_out[q]
-        sub = sub_ref[0]
-        lane = lane_ref[0]
+        sl = sl_ref[0]
+        sub = jax.lax.shift_right_logical(sl, jnp.int32(7))
+        lane = jax.lax.bitwise_and(sl, jnp.int32(127))
         total = jnp.zeros((8, 128), dtype=dtype)
         for j in range(q):
             xpage = page_refs[j][0]
@@ -377,7 +376,7 @@ def _build_gather_kernel(T: int, q: int, dtype_str: str):
         out_ref[0] = total
 
     tile_specs = [pl.BlockSpec((1, 8, 128), lambda i, m: (i, 0, 0),
-                               memory_space=pltpu.VMEM) for _ in range(2)]
+                               memory_space=pltpu.VMEM)]
     page_specs = [pl.BlockSpec(
         (1, 8, 128), functools.partial(lambda i, m, j=j: (m[i] + j, 0, 0)),
         memory_space=pltpu.VMEM) for j in range(q)]
@@ -394,8 +393,8 @@ def _build_gather_kernel(T: int, q: int, dtype_str: str):
         out_shape=jax.ShapeDtypeStruct((T, 8, 128), dtype),
     )
 
-    def fn(plo, sub, lane, x2):
-        return call(plo, sub, lane, *([x2] * q))
+    def fn(plo, sl, x2):
+        return call(plo, sl, *([x2] * q))
 
     return fn
 
@@ -406,7 +405,7 @@ def paged_gather(plan_meta, plan, x, ncols: int, W: int, x2=None):
     if x2 is None:
         x2 = pad_x_pages(x, ncols, q, npages)
     fn = _build_gather_kernel(T, q, str(np.dtype(x.dtype)))
-    out = fn(plan["plo"], plan["sub"], plan["lane"], x2)
+    out = fn(plan["plo"], plan["sl"], x2)
     return out.reshape(T, DELTA_TILE)[:, : g * W].reshape(T * g, W)
 
 

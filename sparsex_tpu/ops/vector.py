@@ -95,15 +95,75 @@ def add(v1, v2):
     return _xp(v1, v2).asarray(v1) + _xp(v1, v2).asarray(v2)
 
 
+def add_part(v1, v2, start: int, end: int):
+    """spx_vec_add_part (ref ``src/api/matvec.c:903``): out = v1 with
+    [start, end) replaced by v1+v2 over that range."""
+    out = np.array(v1, copy=True)
+    out[start:end] = out[start:end] + np.asarray(v2)[start:end]
+    return out
+
+
 def sub(v1, v2):
     """spx_vec_sub."""
     return _xp(v1, v2).asarray(v1) - _xp(v1, v2).asarray(v2)
+
+
+def sub_part(v1, v2, start: int, end: int):
+    """spx_vec_sub_part (ref ``src/api/matvec.c:914``)."""
+    out = np.array(v1, copy=True)
+    out[start:end] = out[start:end] - np.asarray(v2)[start:end]
+    return out
 
 
 def mul(v1, v2):
     """spx_vec_mul: dot product."""
     xp = _xp(v1, v2)
     return xp.dot(xp.asarray(v1), xp.asarray(v2))
+
+
+def mul_part(v1, v2, start: int, end: int):
+    """spx_vec_mul_part (ref ``src/api/matvec.c:926``): partial dot."""
+    a = np.asarray(v1)[start:end]
+    b = np.asarray(v2)[start:end]
+    return float(np.dot(a, b))
+
+
+def copy(v):
+    """spx_vec_copy (ref ``src/api/matvec.c:983``)."""
+    return np.array(v, copy=True)
+
+
+def init_rand_range(v, low: float, high: float,
+                    seed: Optional[int] = None):
+    """spx_vec_init_rand_range (ref ``src/api/matvec.c:849``): fill v
+    in-place with uniform values in [low, high)."""
+    v = np.asarray(v)
+    rng = np.random.default_rng(seed)
+    v[:] = (low + (high - low) * rng.random(v.size)).astype(v.dtype)
+    return v
+
+
+def create_interleaved(size: int, partition=None, dtype=np.float64):
+    """Partition-aware creation (ref ``VecCreateInterleaved``
+    ``Vector.hpp:41`` / ``spx_vec_create`` with a partition handle,
+    ``matvec.c:763-837``).  The NUMA-interleaved placement maps to a
+    row-sharded device array when a mesh is active; on the host side the
+    partition only documents intent, so this returns a zero vector plus
+    the partition for callers that shard it (``parallel/shard.py``)."""
+    v = np.zeros(size, dtype=dtype)
+    if partition is not None:
+        try:
+            import jax
+            from jax.sharding import (Mesh, NamedSharding,
+                                      PartitionSpec as P)
+            devs = jax.devices()
+            nparts = len(getattr(partition, "row_start", [])) or 1
+            if len(devs) >= nparts > 1 and size % nparts == 0:
+                mesh = Mesh(np.array(devs[:nparts]), ("rows",))
+                return jax.device_put(v, NamedSharding(mesh, P("rows")))
+        except Exception:
+            pass
+    return v
 
 
 def reorder(v, perm):

@@ -423,8 +423,7 @@ def stack_delta_pages(arrays, meta, shards: List[CsxTables],
             # all-dummy rep: every tile padded, rows -> sentinel
             reps[i] = {
                 "plo": np.zeros(t_max, dtype=np.int32),
-                "sub": np.zeros((t_max, 8, 128), dtype=np.int32),
-                "lane": np.zeros((t_max, 8, 128), dtype=np.int32),
+                "sl": np.zeros((t_max, 8, 128), dtype=np.int32),
                 "vals": np.zeros((t_max, 8, 128), dtype=vdt0),
                 "rows": np.full(t_max * DELTA_TILE, max_rows,
                                 dtype=np.int32),
@@ -432,7 +431,7 @@ def stack_delta_pages(arrays, meta, shards: List[CsxTables],
             }
     n = len(reps)
     stacked = {k: np.stack([r[k] for r in reps])
-               for k in ("plo", "sub", "lane", "vals", "rows")}
+               for k in ("plo", "sl", "vals", "rows")}
     arrays["delta_pages"] = stacked
     # leftovers replace the stacked delta (padded, sorted row ids)
     dn = max(l.size for l in lefts)
@@ -604,7 +603,7 @@ def stack_unit_pages(arrays, meta, ncols: int) -> None:
                 t["cols"][i] = t["cols"][i][orders[i]]
                 t["vals"][i] = t["vals"][i][orders[i]]
             t["plan"] = {k: np.stack([p[k] for p in plans])
-                         for k in ("plo", "sub", "lane")}
+                         for k in ("plo", "sl")}
             p0 = plans[0]
             new_keys.append(key + ((p0["T"], qmax, p0["g"],
                                     p0["npages"]),))
@@ -660,8 +659,15 @@ class ShardedCsx:
 
         from sparsex_tpu.config import Config
         cfg = Config.instance()
+        # axis may be a tuple for multi-host meshes, e.g. ("dcn", "ici"):
+        # shards lay out dcn-major, so ring neighbors are ICI-adjacent and
+        # the halo exchange crosses DCN only at host boundaries.  All
+        # collectives (ppermute ring, psum_scatter) take the tuple as one
+        # flattened axis.
         self.axis = axis or cfg.mesh_axis
         if mesh is None:
+            if isinstance(self.axis, tuple):
+                raise ValueError("pass an explicit mesh for tuple axes")
             devs = np.array(jax.devices())
             mesh = Mesh(devs, (self.axis,))
         self.mesh = mesh

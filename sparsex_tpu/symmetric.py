@@ -38,6 +38,33 @@ from sparsex_tpu.preprocess.tables import CsxTables
 
 
 @functools.lru_cache(maxsize=64)
+def _compiled_sym_multi(metas, row_starts):
+    """One jitted program for ALL symmetric shards: per-shard lower
+    triangle + diagonal, transposed partials summed in-trace (the
+    reference's single barrier-synchronized dispatch + VecAddFromMap
+    reduction, ``CsxKernels.cpp:57-80``)."""
+    import jax
+    import jax.numpy as jnp
+
+    def fn(arrs_list, dvals_list, x, alpha):
+        nrows_glob = metas[0][1]
+        z_total = None
+        parts = []
+        for meta, rs, arrs, dvals in zip(metas, row_starts, arrs_list,
+                                         dvals_list):
+            acc, z = local_contrib(meta, arrs, x, nrows_part=meta[0],
+                                   ncols=meta[1], row_start=rs,
+                                   symmetric=True, dvals=dvals,
+                                   nrows_glob=nrows_glob)
+            parts.append(acc)
+            z_total = z if z_total is None else z_total + z
+        out = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        return alpha * (out + z_total)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
 def _compiled_sym(meta, row_start: int):
     """Jitted symmetric shard kernel: returns (y_own, z_partial).
 
@@ -141,15 +168,26 @@ class SymCsxMatrix(CsxMatrix):
         use_pages = (_pallas_mode() is not False and dia_pallas_ok()
                      and pallas_dtype_ok(x.dtype) and x.ndim == 1)
         variants = self._sym_paged if use_pages else self._sym_plain
-        for tables, dvals, (meta, arrs) in zip(self.shards, self.dvalues,
-                                               variants):
-            fn = _compiled_sym(meta, tables.row_start)
-            y_own, z = fn(arrs, jnp.asarray(dvals, dtype=x.dtype), x,
-                          x.dtype.type(alpha))
-            y_parts.append(y_own)
-            z_total = z_total + z
-        out = jnp.concatenate(y_parts) if len(y_parts) > 1 else y_parts[0]
-        out = out + z_total
+        if x.ndim == 1:
+            # one jitted program for all shards (single synchronized
+            # dispatch; z partials summed in-trace)
+            metas = tuple(meta for meta, _ in variants)
+            row_starts = tuple(t.row_start for t in self.shards)
+            fn = _compiled_sym_multi(metas, row_starts)
+            out = fn([arrs for _, arrs in variants],
+                     [jnp.asarray(d, dtype=x.dtype) for d in self.dvalues],
+                     x, x.dtype.type(alpha))
+        else:
+            for tables, dvals, (meta, arrs) in zip(self.shards,
+                                                   self.dvalues, variants):
+                fn = _compiled_sym(meta, tables.row_start)
+                y_own, z = fn(arrs, jnp.asarray(dvals, dtype=x.dtype), x,
+                              x.dtype.type(alpha))
+                y_parts.append(y_own)
+                z_total = z_total + z
+            out = (jnp.concatenate(y_parts) if len(y_parts) > 1
+                   else y_parts[0])
+            out = out + z_total
         if y is not None and beta != 0.0:
             out = out + x.dtype.type(beta) * jnp.asarray(y)
         return out

@@ -141,3 +141,50 @@ def test_symmetric_flag_on_unsymmetric_mmf_fails(tmp_path):
     with pytest.raises(spx.SparsexError):
         inp = spx.input_load_mmf(path)
         spx.mat_tune(inp)
+
+
+def test_vector_part_ops_and_copy():
+    """spx_vec_{add,sub,mul}_part, copy, init_rand_range parity
+    (ref src/api/matvec.c:849-1001)."""
+    import numpy as np
+    from sparsex_tpu.ops import vector as vec
+
+    a = np.arange(10, dtype=np.float64)
+    b = np.full(10, 2.0)
+    out = vec.add_part(a, b, 2, 5)
+    assert np.allclose(out[2:5], a[2:5] + 2.0)
+    assert np.allclose(out[:2], a[:2]) and np.allclose(out[5:], a[5:])
+    out = vec.sub_part(a, b, 0, 3)
+    assert np.allclose(out[:3], a[:3] - 2.0) and np.allclose(out[3:], a[3:])
+    assert vec.mul_part(a, b, 1, 4) == float(np.dot(a[1:4], b[1:4]))
+    c = vec.copy(a)
+    c[0] = 99
+    assert a[0] == 0
+    v = np.zeros(100)
+    vec.init_rand_range(v, 3.0, 7.0, seed=1)
+    assert v.min() >= 3.0 and v.max() < 7.0
+    w = vec.create_interleaved(16)
+    assert w.shape == (16,) and np.all(np.asarray(w) == 0)
+
+
+def test_measure_load_imbalance():
+    """Runtime per-shard secs report (ref SpmvTest.cpp:35-60)."""
+    import numpy as np
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+
+    cfg = Config.reset()
+    cfg.set("spx.rt.nr_threads", "2")
+    rng = np.random.default_rng(0)
+    n = 1024
+    rows = rng.integers(0, n, 4000)
+    cols = rng.integers(0, n, 4000)
+    _, u = np.unique(rows * n + cols, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    mat = CsxMatrix.from_coo(n, n, rows, cols,
+                             rng.standard_normal(rows.size))
+    secs, imb = mat.measure_load_imbalance(loops=8)
+    assert len(secs) == 2 and all(s > 0 for s in secs)
+    assert imb >= 0.0

@@ -115,7 +115,7 @@ def test_unit_pages_plan_and_gather_interpret():
         xg = pk.paged_gather((plan["T"], plan["q"], plan["g"],
                               plan["npages"]),
                              {k: jnp.asarray(plan[k])
-                              for k in ("plo", "sub", "lane")},
+                              for k in ("plo", "sl")},
                              jnp.asarray(x), ncols, W)
     want = x[gidx[order[: n_pageable]]]
     np.testing.assert_array_equal(np.asarray(xg), want)
