@@ -171,7 +171,8 @@ def bench_workload(name, n, rows, cols, vals):
                if "dscatter" in extras else "; XLA scatter"))
 
     arrays = jax.device_put(arrays)
-    spmv = _compiled(meta, "float32", _resolve_use_pallas(tables))
+    spmv = _compiled(meta, "float32",
+                     _resolve_use_pallas(tables, routed=ex._routed()))
     zeros = jnp.zeros(n, dtype=jnp.float32)
 
     def make(k):

@@ -131,8 +131,10 @@ class CsxMatrix:
                 m, a = ex._pages_meta, ex._pages_arrays
             metas.append(m)
             arrs_list.append(a)
+        routed = any(ex._routed() for ex in self.executors)
         fn = _compiled_multi(tuple(metas), str(x.dtype),
-                             _resolve_use_pallas(self.shards[0]))
+                             _resolve_use_pallas(self.shards[0],
+                                                 routed=routed))
         y0 = (jnp.zeros(self.nrows, dtype=x.dtype) if y is None
               else jnp.asarray(y))
         return fn(arrs_list, x, x.dtype.type(alpha), x.dtype.type(beta),

@@ -84,16 +84,18 @@ def _pallas_mode() -> Optional[bool]:
     return None
 
 
-def _resolve_use_pallas(tables: CsxTables = None) -> bool:
+def _resolve_use_pallas(tables: CsxTables = None,
+                        routed: bool = False) -> bool:
     """Per-matrix policy for the fused DIA Pallas kernel.
 
-    Measured on v5e: the XLA DIA window-sum overlaps with (hides under) the
-    serial delta gather when leftover singles dominate, so a Pallas custom
-    call there only adds serialization; when diagonals dominate (banded
-    matrices) the fused Pallas kernel runs at HBM speed-of-light, ~6.5x the
-    XLA formulation.  "auto" therefore picks Pallas iff the delta path is
-    cheaper than the XLA DIA passes it would otherwise hide under:
-    delta_nnz * ~16 ns  <  dia_rows * ~32 B / HBM_BW.
+    Measured on v5e: the XLA DIA window-sum overlaps with (hides under) a
+    *serialized* delta path (the old XLA gather/scatter, ~16 ns/element),
+    so Pallas there only added serialization.  With the routed delta path
+    (``routed=True``) nothing serial remains to hide under, and the fused
+    Pallas DIA wins outright (measured 1.6x on the headline: one x pass
+    from VMEM for all offsets vs one pass per diagonal).  The old
+    hide-under rule only remains for matrices still on the XLA delta
+    path: delta_nnz * ~16 ns  <  dia_rows * ~32 B / HBM_BW.
     """
     from sparsex_tpu.ops.pallas_kernels import dia_pallas_ok
     forced = _pallas_mode()
@@ -108,7 +110,7 @@ def _resolve_use_pallas(tables: CsxTables = None) -> bool:
         return forced
     if not dia_pallas_ok():
         return False
-    if tables is None:
+    if routed or tables is None:
         return True
     delta_nnz = tables.delta.nnz if tables.delta else 0
     dia_rows = sum(t.ndiags for t in tables.dias) * tables.nrows
@@ -295,12 +297,30 @@ class CsxExecutor:
         self._pages_meta = None
         self._pages_arrays = None
 
+    def _routed(self) -> bool:
+        """Whether the paged variant carries a delta scatter route (no
+        serialized op left -> the fused Pallas DIA always wins)."""
+        return bool(self._pages_meta) and any(
+            e and e[0] == "dscatter" for e in self._pages_meta[5:])
+
     def _pages_active(self) -> bool:
         if _pallas_mode() is False:
             return False
         from sparsex_tpu.ops.pallas_kernels import (dia_pallas_ok,
                                                     pallas_dtype_ok)
-        if not dia_pallas_ok() or not pallas_dtype_ok(self._dtype):
+        if not dia_pallas_ok():
+            return False
+        if not pallas_dtype_ok(self._dtype):
+            # bf16/f64 run the XLA paths (Mosaic kernels are f32-tiled);
+            # say so once — on TPU this costs real throughput and
+            # spx.tpu.value_dtype=float32 is the recommended setting.
+            if not getattr(self, "_dtype_warned", False):
+                self._dtype_warned = True
+                from sparsex_tpu.logger import log_info
+                log_info(
+                    "value dtype %s bypasses the Pallas page/route "
+                    "kernels (f32-only); set spx.tpu.value_dtype=float32 "
+                    "for full TPU throughput", self._dtype)
             return False
         self._maybe_build_pages()
         return self._pages_meta is not None
@@ -324,7 +344,8 @@ class CsxExecutor:
                 import jax
                 meta, arrays = self._pages_meta, self._pages_arrays
                 fn = _compiled(meta, self._dtype,
-                               _resolve_use_pallas(self.tables))
+                               _resolve_use_pallas(
+                                   self.tables, routed=self._routed()))
                 zeros = jnp.zeros(meta[0], dtype=x.dtype)
                 a = x.dtype.type(alpha)
                 b0 = x.dtype.type(0.0)
@@ -343,5 +364,8 @@ class CsxExecutor:
         shape = meta[0] if x.ndim == 1 else (meta[0], x.shape[1])
         y0 = (jnp.zeros(shape, dtype=x.dtype)
               if y is None else jnp.asarray(y))
-        fn = _compiled(meta, self._dtype, _resolve_use_pallas(self.tables))
+        fn = _compiled(meta, self._dtype,
+                       _resolve_use_pallas(self.tables,
+                                           routed=(meta is not self.meta
+                                                   and self._routed())))
         return fn(arrays, x, x.dtype.type(alpha), x.dtype.type(beta), y0)

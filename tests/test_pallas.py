@@ -130,7 +130,7 @@ def test_unit_pages_executor_interpret(monkeypatch):
 
     monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
     monkeypatch.setattr(exec_mod, "_resolve_use_pallas",
-                        lambda tables=None: False)  # dia stays XLA
+                        lambda tables=None, routed=False: False)  # dia stays XLA
     cfg = Config.instance()
     cfg.set("spx.tpu.value_dtype", "float32")
     cfg.set("spx.preproc.xform", "h")
