@@ -124,11 +124,15 @@ class CsxMatrix:
         # CsxKernels.cpp:35-55) instead of a Python loop of dispatches.
         from sparsex_tpu.ops.exec import (_compiled_multi,
                                           _resolve_use_pallas)
+        import jax
+        tracing = isinstance(x, jax.core.Tracer)
         metas, arrs_list = [], []
         for ex in self.executors:
-            m, a = ex.meta, ex.arrays
+            ex._tracing = tracing
             if x.ndim == 1 and ex._pages_active():
-                m, a = ex._pages_meta, ex._pages_arrays
+                m, a = ex._pages_meta, ex._device(True)
+            else:
+                m, a = ex.meta, ex._device(False)
             metas.append(m)
             arrs_list.append(a)
         routed = any(ex._routed() for ex in self.executors)

@@ -136,6 +136,29 @@ class CsxExecutor:
         self._pages_tried = False
         self._pages_meta = None
         self._pages_arrays = None
+        self._dev_plain = None
+        self._dev_pages = None
+        self._tracing = False
+
+    def _device(self, pages: bool):
+        """Device-resident copy of the table arrays (transferred once).
+
+        Passing host numpy into the jitted call would re-upload the tables
+        on EVERY invocation (JAX does not dedupe numpy args) — the device
+        copy is the per-device HBM placement the reference gets from NUMA
+        onnode allocation (``numa_util.c``).  Inside an ambient user
+        trace the host arrays are returned directly (embedded as
+        constants); caching there would leak tracers."""
+        import jax
+        if self._tracing:
+            return self._pages_arrays if pages else self.arrays
+        if pages:
+            if self._dev_pages is None:
+                self._dev_pages = jax.device_put(self._pages_arrays)
+            return self._dev_pages
+        if self._dev_plain is None:
+            self._dev_plain = jax.device_put(self.arrays)
+        return self._dev_plain
 
     def _maybe_build_pages(self) -> None:
         """Lazily reorganize tables into page-bucketed Pallas layouts
@@ -153,16 +176,35 @@ class CsxExecutor:
         ncols = self.tables.ncols
         arrays = dict(self.arrays)
         changed = False
+        if self._dtype == "bfloat16":
+            # compute-in-f32: Mosaic tiles are f32; a bf16 matrix keeps its
+            # bf16 tables for the fallback path, and the page/route
+            # variant holds f32 copies of every value stream.
+            def _f32(tree):
+                if tree is None:
+                    return None
+                out = dict(tree)
+                if "vals" in out:
+                    out["vals"] = np.asarray(out["vals"], dtype=np.float32)
+                return out
+            arrays["delta"] = _f32(arrays["delta"])
+            arrays["runs"] = [_f32(t) for t in arrays["runs"]]
+            arrays["blocks"] = [_f32(t) for t in arrays["blocks"]]
+            arrays["dias"] = [_f32(t) for t in arrays["dias"]]
+            changed = True
 
         # --- delta: element pages (x side) + scatter route (y side) ---
         dmeta_entry = None
         dscatter_entry = None
         d = self.tables.delta
         if d is not None and d.nnz:
+            dvals = np.asarray(d.vals)
+            if self._dtype == "bfloat16":
+                dvals = dvals.astype(np.float32)
             rep, leftover = build_delta_pages(
                 np.asarray(d.cols, dtype=np.int64),
                 np.asarray(d.row_ids, dtype=np.int64),
-                np.asarray(d.vals), ncols, self.tables.nrows)
+                dvals, ncols, self.tables.nrows)
             if rep is not None:
                 q, npages = rep.pop("q"), rep.pop("npages")
                 T = rep["plo"].size
@@ -171,7 +213,7 @@ class CsxExecutor:
                     lo = np.sort(leftover)
                     arrays["delta"] = {
                         "row_ids": d.row_ids[lo], "cols": d.cols[lo],
-                        "vals": d.vals[lo]}
+                        "vals": dvals[lo]}
                 else:
                     arrays["delta"] = None
                 dmeta_entry = ("dpages", T, q, npages)
@@ -290,12 +332,15 @@ class CsxExecutor:
         self._pages_meta = tuple(meta) + tuple(extras)
 
     def invalidate_value_caches(self) -> None:
-        """Drop layouts that copied table values (page/route forms); the
-        plain arrays are views of the tables and stay current.  Called by
-        ``CsxMatrix.set_entry`` so value writes stay O(1) + lazy rebuild."""
+        """Drop layouts that copied table values (page/route forms and the
+        device-resident copies); the plain HOST arrays are views of the
+        tables and stay current.  Called by ``CsxMatrix.set_entry`` so
+        value writes stay O(1) + lazy rebuild."""
         self._pages_tried = False
         self._pages_meta = None
         self._pages_arrays = None
+        self._dev_plain = None
+        self._dev_pages = None
 
     def _routed(self) -> bool:
         """Whether the paged variant carries a delta scatter route (no
@@ -310,10 +355,12 @@ class CsxExecutor:
                                                     pallas_dtype_ok)
         if not dia_pallas_ok():
             return False
-        if not pallas_dtype_ok(self._dtype):
-            # bf16/f64 run the XLA paths (Mosaic kernels are f32-tiled);
+        if not pallas_dtype_ok(self._dtype) and self._dtype != "bfloat16":
+            # f64 runs the XLA paths (Mosaic kernels are f32-tiled);
             # say so once — on TPU this costs real throughput and
             # spx.tpu.value_dtype=float32 is the recommended setting.
+            # (bf16 matrices compute in f32: the page/route layouts are
+            # built as f32 copies and x upcasts at dispatch.)
             if not getattr(self, "_dtype_warned", False):
                 self._dtype_warned = True
                 from sparsex_tpu.logger import log_info
@@ -330,9 +377,19 @@ class CsxExecutor:
     MM_COLUMN_LOOP_MAX = 64
 
     def __call__(self, x, alpha=1.0, beta=0.0, y=None):
+        import jax
         import jax.numpy as jnp
         x = jnp.asarray(x)
-        meta, arrays = self.meta, self.arrays
+        # under an ambient user trace, skip the device-copy caching
+        self._tracing = isinstance(x, jax.core.Tracer)
+        if x.dtype == jnp.bfloat16 and self._pages_active():
+            # compute in f32 on the paged/routed layouts (measured ~30x
+            # over the serialized XLA bf16 path), cast the result back
+            y32 = self(x.astype(jnp.float32), alpha=alpha, beta=beta,
+                       y=None if y is None
+                       else jnp.asarray(y).astype(jnp.float32))
+            return y32.astype(jnp.bfloat16)
+        meta, arrays = self.meta, None
         if x.ndim == 2:
             # SpMM: measured on v5e, XLA's (row, k)-slice gathers/scatters
             # still cost per ELEMENT (~2.4 ns), so for moderate k it is
@@ -342,7 +399,7 @@ class CsxExecutor:
             if (x.shape[1] <= self.MM_COLUMN_LOOP_MAX
                     and self._pages_active()):
                 import jax
-                meta, arrays = self._pages_meta, self._pages_arrays
+                meta, arrays = self._pages_meta, self._device(True)
                 fn = _compiled(meta, self._dtype,
                                _resolve_use_pallas(
                                    self.tables, routed=self._routed()))
@@ -360,7 +417,9 @@ class CsxExecutor:
                     out = out + x.dtype.type(beta) * jnp.asarray(y)
                 return out
         elif self._pages_active():
-            meta, arrays = self._pages_meta, self._pages_arrays
+            meta, arrays = self._pages_meta, self._device(True)
+        if arrays is None:
+            arrays = self._device(False)
         shape = meta[0] if x.ndim == 1 else (meta[0], x.shape[1])
         y0 = (jnp.zeros(shape, dtype=x.dtype)
               if y is None else jnp.asarray(y))

@@ -241,3 +241,45 @@ def test_executor_route_interpret(monkeypatch):
     ref = np.zeros(n, np.float32)
     np.add.at(ref, rows, vals * x[cols])
     assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_bf16_compute_in_f32_interpret(monkeypatch):
+    """bf16 matrices ride the paged/routed layouts as f32 copies with x
+    upcast at dispatch (measured ~30x over the serialized XLA bf16 path;
+    a native bf16 Mosaic variant needs (16,128) tiles — future work)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    import sparsex_tpu.ops.pallas_kernels as pk
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+    from sparsex_tpu.ops import route as route_mod
+
+    monkeypatch.setattr(pk, "MIN_PAGE_NNZ", 64)
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    monkeypatch.setattr(route_mod, "MIN_ELEMS", 128)
+    cfg = Config.reset()
+    cfg.set("spx.tpu.value_dtype", "bfloat16")
+    cfg.set("spx.preproc.xform", "all")
+
+    rng = np.random.default_rng(8)
+    n = 4096
+    rows = np.concatenate([np.arange(n), rng.integers(0, n, 5000)])
+    cols = np.concatenate([np.arange(n), rng.integers(0, n, 5000)])
+    _, u = np.unique(rows * n + cols, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    ex = mat.executors[0]
+    x = rng.standard_normal(n).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        assert ex._pages_active(), "bf16 pages not built"
+        y = np.asarray(ex(jnp.asarray(x, dtype=jnp.bfloat16))
+                       .astype(jnp.float32))
+    vb = np.asarray(jnp.asarray(vals, jnp.bfloat16).astype(jnp.float32))
+    xb = np.asarray(jnp.asarray(x, jnp.bfloat16).astype(jnp.float32))
+    ref = np.zeros(n, np.float32)
+    np.add.at(ref, rows, vb * xb[cols])
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-2
