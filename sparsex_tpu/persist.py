@@ -33,9 +33,48 @@ _MAGIC = "sparsex_tpu-csx-v2"
 _OLD_MAGICS = ("sparsex_tpu-csx-v1",)
 
 
+# --- layout (pages/route) serialization helpers -----------------------------
+def _enc_tree(node, arrays: dict, prefix: str):
+    """JSON-encodable structure with numpy leaves swapped for archive keys."""
+    if node is None or isinstance(node, (bool, int, float, str)):
+        return node
+    if isinstance(node, np.ndarray):
+        arrays[prefix] = node
+        return {"__arr__": prefix}
+    if isinstance(node, dict):
+        return {"__dict__": {k: _enc_tree(v, arrays, f"{prefix}.{k}")
+                             for k, v in node.items()}}
+    if isinstance(node, (list, tuple)):
+        return {"__list__" if isinstance(node, list) else "__tuple__":
+                [_enc_tree(v, arrays, f"{prefix}.{i}")
+                 for i, v in enumerate(node)]}
+    raise TypeError(f"unserializable layout node: {type(node)}")
+
+
+def _dec_tree(node, arrays: dict):
+    if not isinstance(node, dict):
+        return node
+    if "__arr__" in node:
+        return arrays[node["__arr__"]]
+    if "__dict__" in node:
+        return {k: _dec_tree(v, arrays) for k, v in node["__dict__"].items()}
+    if "__list__" in node:
+        return [_dec_tree(v, arrays) for v in node["__list__"]]
+    if "__tuple__" in node:
+        return tuple(_dec_tree(v, arrays) for v in node["__tuple__"])
+    return node
+
+
 def save_csx(mat: CsxMatrix, filename: str,
-             permutation: Optional[np.ndarray] = None) -> None:
-    """``spx_mat_save`` parity (ref ``src/api/matvec.c:409``)."""
+             permutation: Optional[np.ndarray] = None,
+             include_layouts: bool = True) -> None:
+    """``spx_mat_save`` parity (ref ``src/api/matvec.c:409``).
+
+    ``include_layouts`` additionally archives each executor's built
+    page/route layouts (building them if absent), so restore skips the
+    planning cost entirely — the full realization of the reference's
+    caching purpose (amortize preprocessing across runs,
+    ``CsxSaveRestore.hpp``)."""
     arrays = {}
     meta = {
         "magic": _MAGIC,
@@ -77,6 +116,19 @@ def save_csx(mat: CsxMatrix, filename: str,
     if mat.symmetric:
         for i, dv in enumerate(getattr(mat, "dvalues", [])):
             arrays[f"s{i}_dvalues"] = dv
+    if include_layouts and not mat.symmetric:
+        layouts = []
+        for i, ex in enumerate(mat.executors):
+            ex._maybe_build_pages()  # host-only work; backend-independent
+            if ex._pages_meta is None:
+                layouts.append(None)
+                continue
+            layouts.append({
+                "meta": _enc_tree(ex._pages_meta, arrays, f"s{i}_Lm"),
+                "arrays": _enc_tree(ex._pages_arrays, arrays, f"s{i}_La"),
+            })
+        if any(l is not None for l in layouts):
+            meta["layouts"] = layouts
     if permutation is not None:
         arrays["permutation"] = np.asarray(permutation)
     if mat.partition is not None:
@@ -166,7 +218,13 @@ def restore_csx(filename: str) -> Tuple[CsxMatrix, Optional[np.ndarray]]:
                            nnz=smeta["nnz"], row_start=smeta["row_start"],
                            delta=delta, runs=runs, blocks=blocks, dias=dias)
         mat.shards.append(tables)
-        mat.executors.append(CsxExecutor(tables))  # re-trace == re-JIT
+        ex = CsxExecutor(tables)  # re-trace == re-JIT
+        layouts = meta.get("layouts")
+        if layouts and i < len(layouts) and layouts[i] is not None:
+            ex._pages_meta = _dec_tree(layouts[i]["meta"], arrays)
+            ex._pages_arrays = _dec_tree(layouts[i]["arrays"], arrays)
+            ex._pages_tried = True  # planning cost fully amortized
+        mat.executors.append(ex)
     if "partition" in meta:
         p = meta["partition"]
         mat.partition = RowPartition(

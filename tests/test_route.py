@@ -283,3 +283,53 @@ def test_bf16_compute_in_f32_interpret(monkeypatch):
     ref = np.zeros(n, np.float32)
     np.add.at(ref, rows, vb * xb[cols])
     assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-2
+
+
+def test_layout_persistence_roundtrip(monkeypatch, tmp_path):
+    """Archived page/route layouts restore intact: no replanning, same
+    numerics (CsxSaveRestore caching purpose, fully amortized)."""
+    import time
+
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    import sparsex_tpu.ops.pallas_kernels as pk
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+    from sparsex_tpu.ops import route as route_mod
+    from sparsex_tpu.persist import restore_csx, save_csx
+
+    monkeypatch.setattr(pk, "MIN_PAGE_NNZ", 64)
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    monkeypatch.setattr(route_mod, "MIN_ELEMS", 128)
+    cfg = Config.reset()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.preproc.xform", "all")
+
+    rng = np.random.default_rng(9)
+    n = 4096
+    rows = np.concatenate([np.arange(n), rng.integers(0, n, 5000)])
+    cols = np.concatenate([np.arange(n), rng.integers(0, n, 5000)])
+    _, u = np.unique(rows * n + cols, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    path = str(tmp_path / "cached.npz")
+    save_csx(mat, path)  # builds + archives the layouts
+
+    mat2, _ = restore_csx(path)
+    ex2 = mat2.executors[0]
+    assert ex2._pages_tried and ex2._pages_meta is not None
+    assert ex2._pages_meta == mat.executors[0]._pages_meta
+    # no replanning: build_scatter_plan must NOT be called on restore use
+    monkeypatch.setattr(route_mod, "build_scatter_plan",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("replanned!")))
+    x = rng.standard_normal(n).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(ex2(jnp.asarray(x)))
+    ref = np.zeros(n, np.float32)
+    np.add.at(ref, rows, vals * x[cols])
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
