@@ -150,14 +150,18 @@ class CsxExecutor:
         trace the host arrays are returned directly (embedded as
         constants); caching there would leak tracers."""
         import jax
-        if self._tracing:
-            return self._pages_arrays if pages else self.arrays
         if pages:
-            if self._dev_pages is None:
-                self._dev_pages = jax.device_put(self._pages_arrays)
+            if self._dev_pages is not None:
+                return self._dev_pages  # device arrays close over safely
+            if self._tracing:
+                return self._pages_arrays
+            self._dev_pages = jax.device_put(self._pages_arrays)
             return self._dev_pages
-        if self._dev_plain is None:
-            self._dev_plain = jax.device_put(self.arrays)
+        if self._dev_plain is not None:
+            return self._dev_plain
+        if self._tracing:
+            return self.arrays
+        self._dev_plain = jax.device_put(self.arrays)
         return self._dev_plain
 
     def _maybe_build_pages(self) -> None:
@@ -201,10 +205,12 @@ class CsxExecutor:
             dvals = np.asarray(d.vals)
             if self._dtype == "bfloat16":
                 dvals = dvals.astype(np.float32)
+            from sparsex_tpu.ops.route import fold_sort_key
+            cols64 = np.asarray(d.cols, dtype=np.int64)
+            rows64 = np.asarray(d.row_ids, dtype=np.int64)
             rep, leftover = build_delta_pages(
-                np.asarray(d.cols, dtype=np.int64),
-                np.asarray(d.row_ids, dtype=np.int64),
-                dvals, ncols, self.tables.nrows)
+                cols64, rows64, dvals, ncols, self.tables.nrows,
+                sort_key=fold_sort_key(rows64, self.tables.nrows, cols64))
             if rep is not None:
                 q, npages = rep.pop("q"), rep.pop("npages")
                 T = rep["plo"].size

@@ -342,9 +342,23 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
                                    x, nrows_part, ncols, acc, x2=x2)
     if symmetric and "dpagesT" in extras and "delta_pages_t" in arrs \
             and not mm:
-        from sparsex_tpu.ops.pallas_kernels import delta_pages_spmv
-        z = delta_pages_spmv(extras["dpagesT"], arrs["delta_pages_t"], x,
-                             nrows_glob, nrows_glob, z, x2=x2)
+        from sparsex_tpu.ops.pallas_kernels import (delta_pages_products,
+                                                    delta_pages_spmv)
+        if "dscatterT" in extras and "delta_scatter_t" in arrs:
+            from sparsex_tpu.ops.route import apply_scatter_plan
+            prods_t = delta_pages_products(
+                extras["dpagesT"], arrs["delta_pages_t"], x, nrows_glob,
+                x2=x2)
+            dst = arrs["delta_scatter_t"]
+            dmetas_t, has_res_t = extras["dscatterT"]
+            z = z + apply_scatter_plan(dmetas_t, dst["chunks"], prods_t,
+                                       nrows_glob)
+            if has_res_t:
+                z = z.at[dst["res_dest"]].add(
+                    jnp.take(prods_t, dst["res_pos"]), mode="drop")
+        else:
+            z = delta_pages_spmv(extras["dpagesT"], arrs["delta_pages_t"],
+                                 x, nrows_glob, nrows_glob, z, x2=x2)
 
     # --- delta singles: gather + sorted segment-sum ---
     def _vb(v):

@@ -121,7 +121,7 @@ MIN_PAGE_NNZ = 1 << 14  # below this the XLA gather is cheaper than a plan
 
 def build_delta_pages(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
                       ncols: int, nrows_part: int, q_force: int = 0,
-                      t_force: int = 0):
+                      t_force: int = 0, sort_key=None):
     """Host-side layout for the page-bucketed delta kernel.
 
     Returns (pages_rep, leftover_idx) where ``pages_rep`` is None when the
@@ -130,12 +130,16 @@ def build_delta_pages(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
 
     ``q_force``/``t_force`` pad the window width / tile count up to a given
     value (>= the computed ones) — the sharded executor uses this to give
-    every shard the same static kernel signature.
+    every shard the same static kernel signature.  ``sort_key`` overrides
+    the element ordering (default: by column); pass
+    ``route.fold_sort_key`` so the scatter-route planner can size its
+    instances per capacity fold.
     """
     m = cols.size
     if m < MIN_PAGE_NNZ:
         return None, None
-    order = np.argsort(cols, kind="stable")
+    order = np.argsort(cols if sort_key is None else sort_key,
+                       kind="stable")
     csort = cols[order].astype(np.int64)
     npages = -(-ncols // PAGE)
 
@@ -145,8 +149,8 @@ def build_delta_pages(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
     leftover = []
     for t0 in range(0, m, DELTA_TILE):
         t1 = min(m, t0 + DELTA_TILE)
-        p_lo = int(csort[t0] // PAGE)
-        p_hi = int(csort[t1 - 1] // PAGE)
+        p_lo = int(csort[t0:t1].min() // PAGE)
+        p_hi = int(csort[t0:t1].max() // PAGE)
         if p_hi - p_lo + 1 > MAX_Q:
             leftover.append(order[t0:t1])
         else:
@@ -155,7 +159,7 @@ def build_delta_pages(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
         return None, None
 
     T = len(keep_tiles)
-    q = max(min(int(csort[t1 - 1] // PAGE) - plo + 1, MAX_Q)
+    q = max(min(int(csort[t0:t1].max() // PAGE) - plo + 1, MAX_Q)
             for t0, t1, plo in keep_tiles)
     q = max(q, q_force)
     # clamp p_lo so the Q-page window stays inside x2; t_force pads with

@@ -63,13 +63,60 @@ def _rank_within(keys: np.ndarray) -> np.ndarray:
     return out
 
 
+def fold_sort_key(dest: np.ndarray, n_dest: int, tiebreak: np.ndarray):
+    """Sort key grouping elements by their capacity fold (page-rank // 128)
+    then by ``tiebreak`` (e.g. column, for gather-page locality).
+
+    High-multiplicity matrices overflow the 128-elements-per-dest-page
+    capacity of one network instance; pre-sorting by fold makes the folds
+    source-CONTIGUOUS, so :func:`build_scatter_plan` can cut its chunks at
+    fold boundaries and each instance's grids are sized to its own
+    elements instead of the whole source.
+    """
+    dest = np.asarray(dest, dtype=np.int64)
+    fold = _rank_within(dest // L) // L
+    return fold * (np.int64(np.asarray(tiebreak).max()) + 2) + tiebreak
+
+
+def _chunk_ranges(dest: np.ndarray, n_dest: int, S1_total: int):
+    """Chunk boundaries in source-row space: every CHUNK_SRC_ROWS, plus the
+    rows where the element fold steps (no-ops unless the caller pre-sorted
+    with :func:`fold_sort_key`)."""
+    valid = (dest >= 0) & (dest < n_dest)
+    fold = np.full(dest.size, -1, dtype=np.int64)
+    idx = np.flatnonzero(valid)
+    fold[idx] = _rank_within(dest[idx] // L) // L
+    # per-row label: max fold present in the row (monotone when pre-sorted)
+    row_fold = fold.reshape(S1_total, L).max(axis=1)
+    cuts = {0, S1_total}
+    last = row_fold[0]
+    for i in range(1, S1_total):
+        if row_fold[i] != last and row_fold[i] >= 0:
+            if last >= 0:
+                cuts.add(i)
+            last = row_fold[i]
+    bounds = sorted(cuts)
+    ranges = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        for a0 in range(lo, hi, CHUNK_SRC_ROWS):
+            ranges.append((a0, min(hi, a0 + CHUNK_SRC_ROWS)))
+    return ranges
+
+
 def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
-                       min_elems: int = None):
+                       min_elems: int = None,
+                       uniform_chunks: bool = False):
     """Plan the routing network for ``out[d] += src[e]`` over all e with
     ``dest[e] == d``.
 
     ``dest``: (M,) int; entries outside [0, n_dest) mark padding (those
     source lanes are never read).  M must be a multiple of 128.
+
+    ``uniform_chunks`` forces fixed CHUNK_SRC_ROWS boundaries (the stacked
+    SPMD planner needs identical chunk slots across shards); otherwise
+    chunks additionally split at capacity-fold boundaries, which keeps
+    high-multiplicity plans proportional to their elements when the caller
+    pre-sorted with :func:`fold_sort_key`.
 
     Returns ``(metas, arrays, res_pos, res_dest)`` — per-instance static
     metas + index-array pytrees, plus residual element positions and
@@ -100,8 +147,13 @@ def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
     arrays: List[Dict[str, np.ndarray]] = []
     res_pos_all: List[np.ndarray] = []
 
-    for a0 in range(0, S1_total, CHUNK_SRC_ROWS):
-        a1 = min(S1_total, a0 + CHUNK_SRC_ROWS)
+    if uniform_chunks:
+        ranges = [(a0, min(S1_total, a0 + CHUNK_SRC_ROWS))
+                  for a0 in range(0, S1_total, CHUNK_SRC_ROWS)]
+    else:
+        ranges = _chunk_ranges(dest.astype(np.int64), n_dest, S1_total)
+
+    for a0, a1 in ranges:
         e0, e1 = a0 * L, a1 * L
         dch = dest[e0:e1].astype(np.int64)
         pos0 = np.flatnonzero(valid_all[e0:e1])

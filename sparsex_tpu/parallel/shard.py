@@ -31,7 +31,6 @@ coordinates — no per-call index arithmetic.
 
 from __future__ import annotations
 
-from types import SimpleNamespace
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -43,13 +42,6 @@ from sparsex_tpu.preprocess.tables import (
     BlockTable, CsxTables, DeltaTable, DiagTable, RunTable,
 )
 from sparsex_tpu.preprocess.xform import run_step
-
-
-def _pad_to(a: np.ndarray, n: int, fill=0) -> np.ndarray:
-    if a.shape[0] == n:
-        return a
-    pad = np.full((n - a.shape[0],) + a.shape[1:], fill, dtype=a.dtype)
-    return np.concatenate([a, pad], axis=0)
 
 
 def stack_shards(shards: List[CsxTables], nrows: int, ncols: int,
@@ -468,7 +460,8 @@ def stack_scatter_plans(arrays, meta) -> None:
         if not ((dest >= 0) & (dest < max_rows)).any():
             plans.append(((), [], empty_i, empty_i))  # all-dummy shard
             continue
-        plan = route.build_scatter_plan(dest, max_rows, min_elems=1)
+        plan = route.build_scatter_plan(dest, max_rows, min_elems=1,
+                                        uniform_chunks=True)
         if plan is None:
             return
         plans.append(plan)
@@ -860,3 +853,27 @@ class ShardedCsx:
               if y is None else jnp.asarray(y))
         return self._fn(self.arrays, x, x.dtype.type(alpha),
                         x.dtype.type(beta), y0)
+
+    def matmat(self, X, alpha=1.0, beta=0.0, Y=None):
+        """Sharded SpMM: one sharded SpMV per RHS column under ``lax.map``
+        (one SPMD pipeline instance in the trace; see the single-chip
+        rationale in ``ops/exec.py``)."""
+        import jax
+        import jax.numpy as jnp
+        X = jnp.asarray(X)
+        if X.ndim != 2 or X.shape[0] != self.mat.ncols:
+            raise ValueError(f"X must be ({self.mat.ncols}, k), "
+                             f"got {X.shape}")
+        a = X.dtype.type(alpha)
+        b0 = X.dtype.type(0.0)
+        zeros = jnp.zeros(self.meta["nrows"], dtype=X.dtype)
+        fn = self._fn
+
+        @jax.jit
+        def mm(arrays, XT):
+            return jax.lax.map(lambda c: fn(arrays, c, a, b0, zeros), XT)
+
+        out = mm(self.arrays, X.T).T
+        if Y is not None and beta != 0.0:
+            out = out + X.dtype.type(beta) * jnp.asarray(Y)
+        return out

@@ -122,10 +122,13 @@ class SymCsxMatrix(CsxMatrix):
                 rows = np.asarray(d.row_ids, dtype=np.int64)
                 vals = np.asarray(d.vals)
                 r0 = tables.row_start
+                from sparsex_tpu.ops.route import fold_sort_key
                 rep_d, left_d = build_delta_pages(
-                    cols, rows, vals, self.ncols, tables.nrows)
+                    cols, rows, vals, self.ncols, tables.nrows,
+                    sort_key=fold_sort_key(rows, tables.nrows, cols))
                 rep_t, left_t = build_delta_pages(
-                    rows + r0, cols, vals, self.nrows, self.nrows)
+                    rows + r0, cols, vals, self.nrows, self.nrows,
+                    sort_key=fold_sort_key(cols, self.nrows, rows + r0))
                 if rep_d is not None and rep_t is not None:
                     qd, npd = rep_d.pop("q"), rep_d.pop("npages")
                     qt, npt = rep_t.pop("q"), rep_t.pop("npages")
@@ -145,6 +148,28 @@ class SymCsxMatrix(CsxMatrix):
                                         "vals": d.vals[:0]})
                     meta = meta + (("dpages", rep_d["plo"].size, qd, npd),
                                    ("dpagesT", rep_t["plo"].size, qt, npt))
+                    # y-sides through the scatter-routing network
+                    # (ops/route.py): direct into the shard's rows,
+                    # transposed into global z rows.
+                    from sparsex_tpu.ops.route import build_scatter_plan
+                    plan_d = build_scatter_plan(
+                        np.asarray(rep_d["rows"], dtype=np.int64),
+                        tables.nrows)
+                    if plan_d is not None:
+                        dm, da, rp, rd = plan_d
+                        rep_d.pop("rows")
+                        arrs["delta_scatter"] = {
+                            "chunks": da, "res_pos": rp, "res_dest": rd}
+                        meta = meta + (("dscatter", dm, bool(rp.size)),)
+                    plan_t = build_scatter_plan(
+                        np.asarray(rep_t["rows"], dtype=np.int64),
+                        self.nrows)
+                    if plan_t is not None:
+                        dm, da, rp, rd = plan_t
+                        rep_t.pop("rows")
+                        arrs["delta_scatter_t"] = {
+                            "chunks": da, "res_pos": rp, "res_dest": rd}
+                        meta = meta + (("dscatterT", dm, bool(rp.size)),)
             self._sym_paged.append((meta, arrs))
 
     def matvec(self, x, alpha=1.0, beta=0.0, y=None):
@@ -168,14 +193,30 @@ class SymCsxMatrix(CsxMatrix):
         use_pages = (_pallas_mode() is not False and dia_pallas_ok()
                      and pallas_dtype_ok(x.dtype) and x.ndim == 1)
         variants = self._sym_paged if use_pages else self._sym_plain
+        # device-resident copies (transferred once; numpy args would
+        # re-upload per call, constants embed poorly — see exec._device).
+        import jax as _jax
+        tracing = isinstance(x, _jax.core.Tracer)
+        key = "_sym_dev_paged" if use_pages else "_sym_dev_plain"
+        dev = getattr(self, key, None)
+        if dev is None and not tracing:
+            dev = [_jax.device_put(arrs) for _, arrs in variants]
+            setattr(self, key, dev)
+            self._sym_dev_dvals = _jax.device_put(
+                [np.asarray(d) for d in self.dvalues])
+        if dev is not None:  # device arrays close over safely under trace
+            variants = [(meta, a) for (meta, _), a in zip(variants, dev)]
         if x.ndim == 1:
             # one jitted program for all shards (single synchronized
             # dispatch; z partials summed in-trace)
             metas = tuple(meta for meta, _ in variants)
             row_starts = tuple(t.row_start for t in self.shards)
             fn = _compiled_sym_multi(metas, row_starts)
-            out = fn([arrs for _, arrs in variants],
-                     [jnp.asarray(d, dtype=x.dtype) for d in self.dvalues],
+            dvals = (self._sym_dev_dvals
+                     if getattr(self, "_sym_dev_dvals", None) is not None
+                     else [jnp.asarray(d, dtype=x.dtype)
+                           for d in self.dvalues])
+            out = fn([arrs for _, arrs in variants], dvals,
                      x, x.dtype.type(alpha))
         else:
             for tables, dvals, (meta, arrs) in zip(self.shards,
@@ -217,6 +258,9 @@ class SymCsxMatrix(CsxMatrix):
         super().set_entry(row, col, value)
         if hasattr(self, "_sym_plain"):
             del self._sym_plain, self._sym_paged  # rebuilt after mutation
+        for key in ("_sym_dev_plain", "_sym_dev_paged", "_sym_dev_dvals"):
+            if hasattr(self, key):
+                delattr(self, key)
 
     def tocoo(self):
         """Expand to full (mirrored) COO."""

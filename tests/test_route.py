@@ -333,3 +333,48 @@ def test_layout_persistence_roundtrip(monkeypatch, tmp_path):
     ref = np.zeros(n, np.float32)
     np.add.at(ref, rows, vals * x[cols])
     assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_symmetric_routed_interpret(monkeypatch):
+    """Symmetric matrices route BOTH y-sides: the lower-triangle rows and
+    the transposed z columns."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    import sparsex_tpu.ops.pallas_kernels as pk
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.ops import route as route_mod
+    from sparsex_tpu.symmetric import build_symmetric_csx
+
+    monkeypatch.setattr(pk, "MIN_PAGE_NNZ", 64)
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    monkeypatch.setattr(route_mod, "MIN_ELEMS", 128)
+    cfg = Config.reset()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.preproc.xform", "none")
+
+    rng = np.random.default_rng(10)
+    n = 4096
+    r = rng.integers(0, n, 8000)
+    c = rng.integers(0, n, 8000)
+    rows, cols = np.maximum(r, c), np.minimum(r, c)
+    rows = np.concatenate([rows, np.arange(n)])
+    cols = np.concatenate([cols, np.arange(n)])
+    _, u = np.unique(rows * n + cols, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    mat = build_symmetric_csx(n, n, rows, cols, vals, already_lower=True)
+    with pltpu.force_tpu_interpret_mode():
+        mat._build_sym_arrays()
+        meta = mat._sym_paged[0][0]
+        keys = {e[0] for e in meta[5:] if e}
+        assert "dscatter" in keys and "dscatterT" in keys, keys
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(mat.matvec(jnp.asarray(x)))
+    A = np.zeros((n, n), np.float32)
+    A[rows, cols] = vals
+    A = A + np.tril(A, -1).T
+    ref = A @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-4

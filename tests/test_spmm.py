@@ -232,3 +232,24 @@ def test_spgemm_panel_stream():
     for j0, panel in spgemm_panel(A, B, panel=96):
         C[:, j0: j0 + panel.shape[1]] = np.asarray(panel)
     assert np.abs(C - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_spmm_sharded():
+    """Sharded SpMM (one sharded SpMV per column under lax.map)."""
+    import jax
+    from jax.sharding import Mesh
+    from sparsex_tpu.parallel.shard import ShardedCsx
+
+    cfg = Config.reset()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.rt.nr_threads", "4")
+    n = 1024
+    rows, cols, vals = _mk(n, seed=20, kinds=("dia", "rand"))
+    vals = vals.astype(np.float32)
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("shards",))
+    sh = ShardedCsx(mat, mesh=mesh)
+    X = np.random.default_rng(21).standard_normal((n, 5)).astype(np.float32)
+    Y = np.asarray(sh.matmat(X, alpha=2.0))
+    ref = 2.0 * (_dense(n, rows, cols, vals) @ X)
+    assert np.abs(Y - ref).max() / np.abs(ref).max() < 1e-4
