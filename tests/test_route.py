@@ -378,3 +378,79 @@ def test_symmetric_routed_interpret(monkeypatch):
     A = A + np.tril(A, -1).T
     ref = A @ x
     assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_stacked_plans_heterogeneous_shards(monkeypatch):
+    """stack_scatter_plans unifies shards with different fold layers (K)
+    and inner color counts (W2) by padding masked wires; shards with no
+    pageable delta get all-dummy instances."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    import jax
+    from jax.sharding import Mesh
+
+    import sparsex_tpu.ops.pallas_kernels as pk
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+    from sparsex_tpu.ops import route as route_mod
+    from sparsex_tpu.parallel.shard import ShardedCsx
+
+    monkeypatch.setattr(pk, "MIN_PAGE_NNZ", 64)
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    monkeypatch.setattr(route_mod, "MIN_ELEMS", 64)
+    cfg = Config.reset()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.rt.nr_threads", "4")
+    cfg.set("spx.preproc.xform", "none")
+    cfg.set("spx.tpu.x_mode", "replicated")
+
+    rng = np.random.default_rng(11)
+    n = 8192
+    # shard 0 rows: dense duplicates (high multiplicity -> larger K);
+    # shard 3 rows: almost nothing (dummy-ish); middle: plain random
+    rows_l = [rng.integers(0, 200, 4000),               # heavy head
+              rng.integers(n // 4, 3 * n // 4, 6000),   # middle
+              rng.integers(3 * n // 4, n, 40)]          # sparse tail
+    cols_l = [rng.integers(0, n, 4000), rng.integers(0, n, 6000),
+              rng.integers(0, n, 40)]
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    _, u = np.unique(rows * n + cols, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("shards",))
+    with pltpu.force_tpu_interpret_mode():
+        sh = ShardedCsx(mat, mesh=mesh)
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(sh.matvec(jnp.asarray(x)))
+    ref = np.zeros(n, np.float32)
+    np.add.at(ref, rows, vals * x[cols])
+    err = np.abs(y - ref).max() / np.abs(ref).max()
+    assert err < 1e-4, err
+
+
+def test_chunk_ranges_fold_boundaries():
+    """Fold-sorted dests produce element-proportional chunks."""
+    rng = np.random.default_rng(12)
+    n_dest = 2000
+    # multiplicity ~3 per slot -> several folds
+    dest = np.repeat(rng.integers(0, n_dest, 40_000), 3)[: 128 * 512]
+    key = route.fold_sort_key(dest, n_dest, np.zeros_like(dest))
+    order = np.argsort(key, kind="stable")
+    dsorted = dest[order]
+    ranges = route._chunk_ranges(dsorted.astype(np.int64), n_dest,
+                                 dsorted.size // 128)
+    assert len(ranges) >= 2  # folds split into separate chunks
+    # plans on the sorted order still match the oracle
+    src = rng.standard_normal(dsorted.size).astype(np.float32)
+    plan = route.build_scatter_plan(dsorted, n_dest, min_elems=64)
+    if plan is not None:
+        metas, arrays, res_pos, res_dest = plan
+        y = route.apply_scatter_plan_np(metas, arrays, src, n_dest)
+        np.add.at(y, res_dest, src[res_pos])
+        ref = _oracle(dsorted, src, n_dest)
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
