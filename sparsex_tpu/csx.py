@@ -126,6 +126,16 @@ class CsxMatrix:
                                           _resolve_use_pallas)
         import jax
         tracing = isinstance(x, jax.core.Tracer)
+        if x.dtype == jnp.bfloat16 and any(ex._pages_active()
+                                           for ex in self.executors):
+            # The page/route layouts hold f32 value streams (Mosaic tiles
+            # are f32) — mirror CsxExecutor.__call__'s compute-in-f32:
+            # upcast x (and y), run the routed program, cast back.
+            y32 = self.matvec(x.astype(jnp.float32), alpha=alpha,
+                              beta=beta,
+                              y=None if y is None
+                              else jnp.asarray(y).astype(jnp.float32))
+            return y32.astype(jnp.bfloat16)
         metas, arrs_list = [], []
         for ex in self.executors:
             ex._tracing = tracing
@@ -178,11 +188,16 @@ class CsxMatrix:
         for ex in self.executors:
             def make(k, ex=ex):
                 def run():
-                    c = jnp.ones((), dtype=x.dtype)
-                    for _ in range(k):  # chained: nothing can be elided
+                    def body(c, _):
+                        # chained with a data dependency so nothing can
+                        # be elided; lax.scan keeps the trace size
+                        # constant in `loops` (bench.py's own pattern).
                         y = ex(x * c)
                         c = (c * jnp.asarray(0.9999, dtype=x.dtype)
                              + y[0] * jnp.asarray(1e-9, dtype=x.dtype))
+                        return c, ()
+                    c, _ = jax.lax.scan(body, jnp.ones((), dtype=x.dtype),
+                                        None, length=k)
                     return c
                 return jax.jit(run)
             f1, f2 = make(max(loops // 4, 1)), make(loops)

@@ -231,7 +231,16 @@ def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
     res_pos = (np.concatenate(res_pos_all) if res_pos_all
                else np.zeros(0, dtype=np.int64))
     if res_pos.size > n_valid // 4:
-        return None  # too much residual: the plan would not pay off
+        # too much residual: the plan would not pay off.  Say so — the
+        # caller falls back to the serialized XLA scatter (~17x slower
+        # per element), which must never happen silently.
+        from sparsex_tpu.logger import log_warning
+        log_warning(
+            "scatter-route plan rejected: %d of %d elements exceed "
+            "network capacity (folds>%d or k>%d); falling back to the "
+            "serialized XLA scatter for this table",
+            res_pos.size, n_valid, MAX_FOLDS, max_k)
+        return None
     res_dest = dest[res_pos].astype(np.int32)
     return tuple(metas), arrays, res_pos.astype(np.int32), res_dest
 

@@ -36,6 +36,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from sparsex_tpu.csx import CsxMatrix
+from sparsex_tpu.logger import log_warning
 from sparsex_tpu.ops.pallas_kernels import DELTA_TILE
 from sparsex_tpu.preprocess.encodings import EncType
 from sparsex_tpu.preprocess.tables import (
@@ -408,6 +409,11 @@ def stack_delta_pages(arrays, meta, shards: List[CsxTables],
                 q_force=q_max, t_force=t_max)
             if (rep is None or rep["q"] != q_max
                     or rep["plo"].size != t_max):
+                log_warning(
+                    "stacked delta-page layout abandoned: shard %d could "
+                    "not be widened to the union signature (T=%d q=%d); "
+                    "ALL shards fall back to the serialized XLA "
+                    "gather/scatter delta path", i, t_max, q_max)
                 return
             reps[i] = rep
             lefts[i] = np.sort(left) if left.size else left
@@ -463,6 +469,10 @@ def stack_scatter_plans(arrays, meta) -> None:
         plan = route.build_scatter_plan(dest, max_rows, min_elems=1,
                                         uniform_chunks=True)
         if plan is None:
+            log_warning(
+                "stacked scatter-route abandoned: shard %d has no "
+                "applicable plan; ALL shards fall back to the serialized "
+                "XLA scatter for the delta y side", i)
             return
         plans.append(plan)
 
@@ -483,6 +493,10 @@ def stack_scatter_plans(arrays, meta) -> None:
         a0, a1 = metas_s[0][7], metas_s[0][8]
         if any((m[0], m[1], m[2], m[3], m[4], m[7], m[8])
                != (S1c, S1p, A2R, D2R, Dp, a0, a1) for m in metas_s):
+            log_warning(
+                "stacked scatter-route abandoned: shards disagree on "
+                "chunking at instance slot %d; ALL shards fall back to "
+                "the serialized XLA scatter for the delta y side", s)
             return  # chunking disagreement: bail to the XLA scatter
         by_slot.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1))
 
@@ -569,6 +583,12 @@ def stack_unit_pages(arrays, meta, ncols: int) -> None:
                 order, n_page, plan = build_unit_pages(flat, W, ncols)
                 if plan is None or n_page != U:
                     ok = False
+                    if flat.size >= (1 << 13):
+                        log_warning(
+                            "stacked unit-page gather abandoned for table "
+                            "%s: shard %d not fully pageable; ALL shards "
+                            "use the serialized XLA gather for it",
+                            key, i)
                     break
                 orders.append(order)
                 plans.append(plan)
@@ -585,6 +605,11 @@ def stack_unit_pages(arrays, meta, ncols: int) -> None:
                         flat, W, ncols, q_force=qmax)
                     if plan is None or n_page != U or plan["q"] != qmax:
                         ok = False
+                        log_warning(
+                            "stacked unit-page gather abandoned for table "
+                            "%s: shard %d could not widen to q=%d; ALL "
+                            "shards use the serialized XLA gather for it",
+                            key, i, qmax)
                         break
                     orders[i] = order
                     plans[i] = plan

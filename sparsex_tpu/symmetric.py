@@ -202,8 +202,15 @@ class SymCsxMatrix(CsxMatrix):
         if dev is None and not tracing:
             dev = [_jax.device_put(arrs) for _, arrs in variants]
             setattr(self, key, dev)
-            self._sym_dev_dvals = _jax.device_put(
-                [np.asarray(d) for d in self.dvalues])
+        # dvalues cache is keyed on the call dtype: a cached f64 copy fed
+        # an f32 x would silently promote the output dtype (ADVICE r2).
+        dkey = str(x.dtype)
+        dcache = getattr(self, "_sym_dev_dvals", None)
+        if dcache is None:
+            dcache = self._sym_dev_dvals = {}
+        if dkey not in dcache and not tracing:
+            dcache[dkey] = _jax.device_put(
+                [np.asarray(d, dtype=x.dtype) for d in self.dvalues])
         if dev is not None:  # device arrays close over safely under trace
             variants = [(meta, a) for (meta, _), a in zip(variants, dev)]
         if x.ndim == 1:
@@ -212,8 +219,7 @@ class SymCsxMatrix(CsxMatrix):
             metas = tuple(meta for meta, _ in variants)
             row_starts = tuple(t.row_start for t in self.shards)
             fn = _compiled_sym_multi(metas, row_starts)
-            dvals = (self._sym_dev_dvals
-                     if getattr(self, "_sym_dev_dvals", None) is not None
+            dvals = (dcache[dkey] if dkey in dcache
                      else [jnp.asarray(d, dtype=x.dtype)
                            for d in self.dvalues])
             out = fn([arrs for _, arrs in variants], dvals,
@@ -254,6 +260,8 @@ class SymCsxMatrix(CsxMatrix):
         if row == col:
             si = self._find_shard(row)
             self.dvalues[si][row - self.shards[si].row_start] = value
+            if hasattr(self, "_sym_dev_dvals"):  # drop stale device copy
+                del self._sym_dev_dvals
             return
         super().set_entry(row, col, value)
         if hasattr(self, "_sym_plain"):

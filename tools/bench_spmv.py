@@ -31,6 +31,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from sparsex_tpu.platform import honor_jax_platforms_env  # noqa: E402
+
+honor_jax_platforms_env()  # JAX_PLATFORMS=cpu must win over the TPU plugin
+
 LOOPS = int(os.environ.get("LOOPS", "128"))
 OUTER_LOOPS = int(os.environ.get("OUTER_LOOPS", "5"))
 CHECK_TOL = 1e-7  # ref src/bench/Bench.cpp:256-263

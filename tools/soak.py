@@ -18,6 +18,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from sparsex_tpu.platform import honor_jax_platforms_env  # noqa: E402
+
+honor_jax_platforms_env()  # JAX_PLATFORMS=cpu must win over the TPU plugin
+
 
 def check(tag, got, want, tol):
     err = np.abs(np.asarray(got, dtype=np.float64) - want).max() / (

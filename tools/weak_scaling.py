@@ -62,13 +62,24 @@ def main():
                          "real devices than requested)")
     args = ap.parse_args()
 
+    # The platform must be decided BEFORE the first backend-initializing
+    # call (jax.devices()): on jax 0.9 a later jax.config.update is a
+    # silent no-op, so probing real devices first would lock us out of the
+    # virtual CPU mesh.
+    from sparsex_tpu.platform import force_cpu, honor_jax_platforms_env
+    want = max(args.devices)
+    if args.cpu or os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        force_cpu(min_devices=want)
+    else:
+        honor_jax_platforms_env()
     import jax
-    if args.cpu or len(jax.devices()) < max(args.devices):
-        jax.config.update("jax_platforms", "cpu")
-        if len(jax.devices()) < max(args.devices):
-            print("NOTE: re-run with XLA_FLAGS=--xla_force_host_platform_"
-                  f"device_count={max(args.devices)} for the virtual mesh",
-                  file=sys.stderr)
+    if len(jax.devices()) < want:
+        print(f"ERROR: {len(jax.devices())} device(s) available but "
+              f"--devices requests {want}; re-run with --cpu (and "
+              f"XLA_FLAGS=--xla_force_host_platform_device_count={want} "
+              "if a CPU backend already initialized) for the virtual mesh",
+              file=sys.stderr)
+        return 2
     import jax.numpy as jnp
     from jax.sharding import Mesh
 
@@ -122,4 +133,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
