@@ -197,17 +197,35 @@ class CsxExecutor:
             arrays["dias"] = [_f32(t) for t in arrays["dias"]]
             changed = True
 
-        # --- delta: element pages (x side) + scatter route (y side) ---
+        # --- delta + DIA: the fused 3-kernel pipeline (ops/fused.py) ---
         dmeta_entry = None
         dscatter_entry = None
+        dfused_entry = None
         d = self.tables.delta
         if d is not None and d.nnz:
             dvals = np.asarray(d.vals)
             if self._dtype == "bfloat16":
                 dvals = dvals.astype(np.float32)
-            from sparsex_tpu.ops.route import fold_sort_key
             cols64 = np.asarray(d.cols, dtype=np.int64)
             rows64 = np.asarray(d.row_ids, dtype=np.int64)
+            from sparsex_tpu.ops.fused import (build_fused_delta,
+                                               pad_dias_for_k3)
+            fmeta, farrs = build_fused_delta(cols64, rows64, dvals,
+                                             ncols, self.tables.nrows)
+            if fmeta is not None:
+                arrays["fused"] = farrs
+                arrays["delta"] = None  # leftover lives inside farrs
+                dia_offs, dv, anti_offs, adv = pad_dias_for_k3(
+                    self.meta[4], arrays["dias"], self.tables.nrows)
+                if dv is not None:
+                    arrays["dias_fused_dv"] = dv
+                if adv is not None:
+                    arrays["dias_fused_adv"] = adv
+                arrays["dias"] = []  # K3 carries the (padded) dv streams
+                dfused_entry = ("dfused", fmeta, dia_offs, anti_offs)
+                changed = True
+        if d is not None and d.nnz and dfused_entry is None:
+            from sparsex_tpu.ops.route import fold_sort_key
             rep, leftover = build_delta_pages(
                 cols64, rows64, dvals, ncols, self.tables.nrows,
                 sort_key=fold_sort_key(rows64, self.tables.nrows, cols64))
@@ -334,7 +352,8 @@ class CsxExecutor:
         meta = list(self.meta)
         meta[2] = tuple(run_meta)
         meta[3] = tuple(block_meta)
-        extras = [e for e in (dmeta_entry, dscatter_entry) if e]
+        extras = [e for e in (dmeta_entry, dscatter_entry, dfused_entry)
+                  if e]
         self._pages_meta = tuple(meta) + tuple(extras)
 
     def invalidate_value_caches(self) -> None:
@@ -352,7 +371,8 @@ class CsxExecutor:
         """Whether the paged variant carries a delta scatter route (no
         serialized op left -> the fused Pallas DIA always wins)."""
         return bool(self._pages_meta) and any(
-            e and e[0] == "dscatter" for e in self._pages_meta[5:])
+            e and e[0] in ("dscatter", "dfused")
+            for e in self._pages_meta[5:])
 
     def _pages_active(self) -> bool:
         if _pallas_mode() is False:

@@ -1,0 +1,546 @@
+"""Fused routed-delta + DIA pipeline — three Pallas passes, one y write.
+
+Round-2 shipped the scatter-routing network (``ops/route.py``) as ~10
+chained device ops: pad-x, the delta page-product kernel, five separate
+lane-gather ``pallas_call``s, two XLA transposes, the DIA kernel and the
+final adds — each a full HBM round trip, each Pallas call serializing
+against surrounding XLA work (measured: 62% of SpMV time was the route
+pipeline's intermediate traffic).  The destinations, wires and page
+windows are all build-time constants, so the whole pipeline fuses into
+three kernels whose intermediates stay in VMEM:
+
+  K1  product+G1:  per source tile, gather x from the tile's page window,
+      multiply by the values, and lane-route through the outer color (the
+      G1 wires) — emits the color-gathered grid A1 directly (the separate
+      products array never exists).
+  K2  middle:      per outer color c, the g2a -> transpose -> g2b ->
+      transpose -> g2c recursion runs entirely in VMEM on (<=128, 128)
+      tiles — replaces five HBM round trips over up-to-8MB grids with one
+      read of A1^T and one write of E1.
+  K3  final:       per 128-page destination block, transpose the E1 slab,
+      resolve the K-fold G3 gather, add every DIA diagonal's contribution
+      (statically shifted windows of x read block-clamped — out-of-range
+      lanes are annihilated by the dv zeros), and write y ONCE.
+
+Reference role anchor: ``src/templates/csx_spmv_tmpl.c:69-103`` — the
+reference's ctl walk also produces y in a single pass; these kernels are
+the TPU equivalent of that fusion.  Plan construction reuses
+``route.build_scatter_plan`` unchanged; the delta page layout is built
+fold-aligned (``build_delta_pages(group_ids=...)``) so route chunk cuts
+land on product-tile boundaries and K1's tiles map 1:1 onto plan rows.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from sparsex_tpu.ops import route
+from sparsex_tpu.ops.pallas_kernels import (DELTA_TILE, PAGE,
+                                            build_delta_pages)
+
+L = 128
+TILE3 = L * L              # y rows per K3 grid step (one 128-page block)
+MAX_INSTANCES = 8          # K3 input fan-in cap; beyond -> legacy path
+MIN_FUSED_NNZ = 1 << 15    # below this the XLA delta path is cheaper
+
+
+# ---------------------------------------------------------------------------
+# Plan construction (host side)
+# ---------------------------------------------------------------------------
+
+def build_fused_delta(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
+                      ncols: int, nrows_part: int, max_k: int = 8):
+    """Plan the fused pipeline for one partition's delta singles.
+
+    Returns ``(meta, arrays)`` or ``(None, None)``.  ``meta`` is the
+    static trace signature ``(T, q, npages, inst, n_res, n_left)`` where
+    ``inst`` is a tuple of per-instance ``(S1c, S1p, A2R, D2R, Dp, K, W2,
+    a0, a1)`` route metas; ``arrays`` holds the device streams:
+
+    - ``plo`` (T,) i32, ``sl`` (T,8,128) i16, ``vals`` (T,8,128) f32,
+      ``g1`` (T,8,128) i8 — K1 inputs;
+    - per instance ``g2a``/``g2b``/``g2c`` i8 (K2) and ``g3`` i8 padded to
+      (K, D2R*128, L) (K3);
+    - ``res_cols``/``res_dest``/``res_vals`` — over-capacity elements
+      (XLA scatter, tiny); ``left_*`` — unpageable spill (XLA delta path).
+    """
+    m = cols.size
+    if m < MIN_FUSED_NNZ or nrows_part <= 0:
+        return None, None
+    Dq = -(-nrows_part // L)
+    if -(-Dq // L) > L:          # D2R > 128: beyond one K3 block axis
+        return None, None
+
+    cols = np.asarray(cols, dtype=np.int64)
+    rows = np.asarray(rows, dtype=np.int64)
+
+    # fold per element (dest-page rank // 128), computed pre-spill; the
+    # (fold, col) sort makes folds contiguous AND col-local within a fold
+    fold = route._rank_within(rows // L) // L
+    key = fold * (cols.max() + 2) + cols
+    rep, leftover = build_delta_pages(
+        cols, rows, vals, ncols, nrows_part, sort_key=key, group_ids=fold)
+    if rep is None:
+        return None, None
+    T = rep["plo"].size
+    dest = np.asarray(rep["rows"], dtype=np.int64)   # sentinel-padded
+    tile_group = rep.pop("tile_group")
+
+    # tile-aligned chunk ranges: cut where the (pre-spill) fold group of
+    # the tile changes, then at CHUNK_SRC_ROWS — every cut is a multiple
+    # of 8 grid rows (= whole product tiles), so each K1 tile belongs to
+    # exactly one route instance.  Within one group every dest page holds
+    # <= 128 elements, so each chunk is a single network instance.
+    S1_total = T * DELTA_TILE // L
+    cuts = {0, S1_total}
+    gstep = np.flatnonzero(tile_group[1:] != tile_group[:-1]) + 1
+    cuts.update(int(t) * 8 for t in gstep)
+    bounds = sorted(cuts)
+    ranges = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        for a0 in range(lo, hi, route.CHUNK_SRC_ROWS):
+            ranges.append((a0, min(hi, a0 + route.CHUNK_SRC_ROWS)))
+
+    plan = route.build_scatter_plan(dest, nrows_part, max_k=max_k,
+                                    ranges=ranges)
+    if plan is None:
+        return None, None
+    metas, arrs_list, res_pos, res_dest = plan
+    if len(metas) > MAX_INSTANCES:
+        return None, None
+
+    # K1's G1 wires: one (S1_total*L) grid assembled from the instances'
+    # g1 rows (instances cover disjoint row ranges [a0, a1))
+    g1_all = np.full((S1_total, L), -1, dtype=np.int8)
+    for meta_i, arrs_i in zip(metas, arrs_list):
+        S1c, a0, a1 = meta_i[0], meta_i[7], meta_i[8]
+        g1_all[a0:a1] = arrs_i["g1"][:S1c]
+
+    D2R = metas[0][3]
+    arrays: Dict[str, np.ndarray] = {
+        "plo": rep["plo"],
+        "sl": rep["sl"],
+        "vals": rep["vals"],
+        "g1": g1_all.reshape(T, 8, L),
+    }
+    inst_meta = []
+    for i, (meta_i, arrs_i) in enumerate(zip(metas, arrs_list)):
+        S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1 = meta_i
+        if D2Ri != D2R:
+            return None, None
+        arrays[f"g2a_{i}"] = arrs_i["g2a"].reshape(L, A2R, L)
+        arrays[f"g2b_{i}"] = arrs_i["g2b"].reshape(L, W2, L)
+        arrays[f"g2c_{i}"] = arrs_i["g2c"].reshape(L, D2R, L)
+        g3 = arrs_i["g3"]                      # (K, Dp, L)
+        g3p = np.full((g3.shape[0], D2R * L, L), -1, dtype=np.int8)
+        g3p[:, : g3.shape[1]] = g3
+        arrays[f"g3_{i}"] = g3p.reshape(g3.shape[0], D2R, L, L)
+        inst_meta.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1))
+
+    # residual (over-capacity) elements: their products are recomputed in
+    # XLA from (col, val) — the fused kernels never materialize products
+    if res_pos.size:
+        flat_pos = res_pos.astype(np.int64)
+        tile_i = flat_pos // DELTA_TILE
+        lane_i = flat_pos % DELTA_TILE
+        sl_flat = rep["sl"].reshape(T, DELTA_TILE)
+        res_cols = (sl_flat[tile_i, lane_i].astype(np.int64)
+                    + rep["plo"][tile_i].astype(np.int64) * PAGE)
+        res_vals = rep["vals"].reshape(T, DELTA_TILE)[tile_i, lane_i]
+        arrays["res_cols"] = np.minimum(res_cols,
+                                        ncols - 1).astype(np.int32)
+        arrays["res_dest"] = res_dest.astype(np.int32)
+        arrays["res_vals"] = res_vals
+    # unpageable spill -> standard XLA delta path (sorted by row)
+    n_left = int(leftover.size)
+    if n_left:
+        lo = np.sort(leftover)
+        arrays["left_rows"] = rows[lo].astype(np.int32)
+        arrays["left_cols"] = cols[lo].astype(np.int32)
+        arrays["left_vals"] = vals[lo]
+
+    meta = (T, int(rep["q"]), int(rep["npages"]), tuple(inst_meta),
+            int(res_pos.size), n_left)
+    return meta, arrays
+
+
+def pad_dias_for_k3(dias_meta, dias_arrays, nrows_part: int):
+    """Pad every DIA table's value grid to D2R*128*128 rows (K3's y grid).
+
+    Returns (static_offsets, stacked_dv, anti_offsets, stacked_adv) with
+    dv laid out (D, nb3, 128, 128) for block feeding."""
+    Dq = -(-nrows_part // L)
+    D2R = -(-Dq // L)
+    npad = D2R * TILE3
+    offs, dvs, aoffs, advs = [], [], [], []
+    for (anti, offsets, _nd), t in zip(dias_meta, dias_arrays):
+        dv = np.asarray(t["vals"])
+        dvp = np.zeros((dv.shape[0], npad), dtype=dv.dtype)
+        dvp[:, : dv.shape[1]] = dv
+        if anti:
+            aoffs.extend(int(o) for o in offsets)
+            advs.append(dvp)
+        else:
+            offs.extend(int(o) for o in offsets)
+            dvs.append(dvp)
+    pack = lambda vs: (np.concatenate(vs, axis=0).reshape(
+        -1, D2R, L, L) if vs else None)
+    return tuple(offs), pack(dvs), tuple(aoffs), pack(advs)
+
+
+# ---------------------------------------------------------------------------
+# K1: page-gather product + G1 lane route
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _build_k1(T: int, q: int, dtype_str: str):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = jnp.dtype(dtype_str)
+
+    def kernel(plo_ref, sl_ref, val_ref, g1_ref, *page_refs_and_out):
+        page_refs = page_refs_and_out[:q]
+        out_ref = page_refs_and_out[q]
+        sl = sl_ref[0].astype(jnp.int32)
+        sub = jax.lax.shift_right_logical(sl, jnp.int32(7))
+        lane = jax.lax.bitwise_and(sl, jnp.int32(127))
+        total = jnp.zeros((8, L), dtype=dtype)
+        for j in range(q):
+            xpage = page_refs[j][0]
+            for k in range(8):
+                rowk = jax.lax.broadcast_in_dim(xpage[k, :], (8, L), (1,))
+                tk = jnp.take_along_axis(rowk, lane, axis=1)
+                total = total + jnp.where(sub == j * 8 + k, tk,
+                                          jnp.zeros((), dtype))
+        prod = total * val_ref[0]
+        g1 = g1_ref[0].astype(jnp.int32)
+        g = jnp.take_along_axis(prod, jnp.maximum(g1, 0), axis=1)
+        out_ref[0] = jnp.where(g1 >= 0, g, jnp.zeros((), dtype))
+
+    tile_specs = [
+        pl.BlockSpec((1, 8, L), lambda i, m: (i, 0, 0),
+                     memory_space=pltpu.VMEM),   # sl
+        pl.BlockSpec((1, 8, L), lambda i, m: (i, 0, 0),
+                     memory_space=pltpu.VMEM),   # vals
+        pl.BlockSpec((1, 8, L), lambda i, m: (i, 0, 0),
+                     memory_space=pltpu.VMEM),   # g1
+    ]
+    page_specs = [pl.BlockSpec(
+        (1, 8, L), functools.partial(lambda i, m, j=j: (m[i] + j, 0, 0)),
+        memory_space=pltpu.VMEM) for j in range(q)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=tile_specs + page_specs,
+        out_specs=pl.BlockSpec((1, 8, L), lambda i, m: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    call = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, 8, L), dtype))
+
+    def fn(plo, sl, vals, g1, x2):
+        return call(plo, sl, vals, g1, *([x2] * q))
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# K2: the fused middle stage (per outer color, VMEM-resident)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=128)
+def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = jnp.dtype(dtype_str)
+
+    def mtake(x, idx_i8):
+        idx = idx_i8.astype(jnp.int32)
+        g = jnp.take_along_axis(x, jnp.maximum(idx, 0), axis=1)
+        return jnp.where(idx >= 0, g, jnp.zeros((), dtype))
+
+    def padT(x):
+        """(R, 128) -> transpose of the zero-padded (128, 128) square.
+        Padding via concatenate — Mosaic has no scatter primitive."""
+        if x.shape[0] == L:
+            return x.T
+        xp = jnp.concatenate(
+            [x, jnp.zeros((L - x.shape[0], L), dtype)], axis=0)
+        return xp.T
+
+    def kernel(a1t_ref, g2a_ref, g2b_ref, g2c_ref, out_ref):
+        B = a1t_ref[0]                      # (A2R, 128) rows asr
+        C1 = mtake(B, g2a_ref[0])           # lanes c2
+        C2p = padT(C1)                      # (128, 128) rows c2, lanes asr
+        D1 = mtake(C2p[:W2], g2b_ref[0])    # (W2, 128) lanes dsr
+        D2p = padT(D1)                      # (128, 128) rows dsr, lanes c2
+        out_ref[0] = mtake(D2p[:D2R], g2c_ref[0])   # (D2R, 128) lanes j
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((1, A2R, L), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A2R, L), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W2, L), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D2R, L), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, D2R, L), lambda c: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, D2R, L), dtype),
+    )
+    return call
+
+
+# ---------------------------------------------------------------------------
+# K3: G3 fold-resolve + DIA windows + single y write
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _build_k3(D2R: int, inst_ks: Tuple[int, ...],
+              dia_offsets: Tuple[int, ...],
+              anti_offsets: Tuple[int, ...],
+              nb_x: int, nb_xr: int, dtype_str: str):
+    """One grid step = one 128-page destination block (TILE3 y rows).
+
+    Inputs (in order): for each instance i: E1_i (L, D2R, L) and
+    g3_i (K_i, D2R, L, L); then dv (Dd, D2R, L, L) and x3 (nb_x, L, L)
+    twice per diagonal block-quotient; then adv/xr3 for anti tables.
+    x blocks are index-clamped — garbage edge lanes are multiplied by the
+    dv zeros the encoder guarantees outside the matrix (``DiagTable``).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = jnp.dtype(dtype_str)
+    I = len(inst_ks)
+
+    def _groups(offsets):
+        """Group offsets by x-block quotient; shift = offset mod TILE3."""
+        qs = sorted({o // TILE3 for o in offsets})
+        qidx = {qv: i for i, qv in enumerate(qs)}
+        return qs, [qidx[o // TILE3] for o in offsets], \
+            [o % TILE3 for o in offsets]
+
+    # anti_offsets arrive REBASED to the reversed-x frame (o' = ncols-1-s:
+    # x[s-r] = xr[r + o']), so both sides share the window machinery
+    d_qs, d_grp, d_shift = _groups(dia_offsets)
+    a_qs, a_grp, a_shift = _groups(anti_offsets)
+
+    def _window(lo, hi, shift):
+        """16384-element window at static flat ``shift`` over two
+        (128,128) blocks: win[r, l] = (lo||hi).flat[shift + r*128 + l].
+
+        Built from ``pltpu.roll``s (sublane then lane) + one select —
+        Mosaic rejects lane-concats of slices with mismatched sublane
+        offsets, while rolls keep canonical layouts."""
+        su, sl_ = divmod(shift, L)
+        w = jnp.concatenate([lo, hi], axis=0)          # (256, 128)
+        w2 = pltpu.roll(w, (2 * L - su) % (2 * L), axis=0) if su else w
+        if sl_ == 0:
+            return w2[:L]
+        nxt = pltpu.roll(w2, 2 * L - 1, axis=0)        # next flat row
+        a = pltpu.roll(w2, L - sl_, axis=1)
+        b = pltpu.roll(nxt, L - sl_, axis=1)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (2 * L, L), 1)
+        return jnp.where(lane_i < L - sl_, a, b)[:L]
+
+    def kernel(*refs):
+        p = 0
+        e1s, g3s = [], []
+        for i in range(I):
+            e1s.append(refs[p]); g3s.append(refs[p + 1]); p += 2
+        if dia_offsets:
+            dv_ref = refs[p]; p += 1
+            xlo = refs[p: p + len(d_qs)]; p += len(d_qs)
+            xhi = refs[p: p + len(d_qs)]; p += len(d_qs)
+        if anti_offsets:
+            adv_ref = refs[p]; p += 1
+            xrlo = refs[p: p + len(a_qs)]; p += len(a_qs)
+            xrhi = refs[p: p + len(a_qs)]; p += len(a_qs)
+        out_ref = refs[p]
+
+        total = jnp.zeros((L, L), dtype=dtype)
+        # --- routed delta: transpose the E1 slab, K-fold lane gather ---
+        for i in range(I):
+            E2blk = e1s[i][...].T              # (pages, colors)
+            for k in range(inst_ks[i]):
+                idx = g3s[i][k, 0].astype(jnp.int32)
+                g = jnp.take_along_axis(E2blk, jnp.maximum(idx, 0), axis=1)
+                total = total + jnp.where(idx >= 0, g,
+                                          jnp.zeros((), dtype))
+        # --- DIA diagonals: dv * shifted x windows ---
+        if dia_offsets:
+            for k in range(len(dia_offsets)):
+                w = _window(xlo[d_grp[k]][0], xhi[d_grp[k]][0], d_shift[k])
+                total = total + dv_ref[k, 0] * w
+        if anti_offsets:
+            for k in range(len(anti_offsets)):
+                w = _window(xrlo[a_grp[k]][0], xrhi[a_grp[k]][0],
+                            a_shift[k])
+                total = total + adv_ref[k, 0] * w
+        out_ref[0] = total
+
+    in_specs = []
+    for i, K in enumerate(inst_ks):
+        # E1 arrives reshaped (L, D2R*L): a (128, 128) column block per
+        # dest-page step (a (L, 1, L) block of the 3-D form would break
+        # Mosaic's block-shape divisibility rule on the middle dim)
+        in_specs.append(pl.BlockSpec((L, L), lambda i_: (0, i_),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((K, 1, L, L),
+                                     lambda i_: (0, i_, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    if dia_offsets:
+        in_specs.append(pl.BlockSpec(
+            (len(dia_offsets), 1, L, L), lambda i_: (0, i_, 0, 0),
+            memory_space=pltpu.VMEM))
+        for qv in d_qs:
+            in_specs.append(pl.BlockSpec(
+                (1, L, L),
+                functools.partial(
+                    lambda i_, qv=qv: (
+                        jnp.clip(i_ + qv, 0, nb_x - 1), 0, 0)),
+                memory_space=pltpu.VMEM))
+        for qv in d_qs:
+            in_specs.append(pl.BlockSpec(
+                (1, L, L),
+                functools.partial(
+                    lambda i_, qv=qv: (
+                        jnp.clip(i_ + qv + 1, 0, nb_x - 1), 0, 0)),
+                memory_space=pltpu.VMEM))
+    if anti_offsets:
+        in_specs.append(pl.BlockSpec(
+            (len(anti_offsets), 1, L, L), lambda i_: (0, i_, 0, 0),
+            memory_space=pltpu.VMEM))
+        for qv in a_qs:
+            in_specs.append(pl.BlockSpec(
+                (1, L, L),
+                functools.partial(
+                    lambda i_, qv=qv: (
+                        jnp.clip(i_ + qv, 0, nb_xr - 1), 0, 0)),
+                memory_space=pltpu.VMEM))
+        for qv in a_qs:
+            in_specs.append(pl.BlockSpec(
+                (1, L, L),
+                functools.partial(
+                    lambda i_, qv=qv: (
+                        jnp.clip(i_ + qv + 1, 0, nb_xr - 1), 0, 0)),
+                memory_space=pltpu.VMEM))
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(D2R,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, L, L), lambda i_: (i_, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D2R, L, L), dtype_str),
+    )
+    return call
+
+
+def _to_blocks(x):
+    """x (n,) -> ((nb, 128, 128) blocks, nb); zero-pads only when ragged.
+    Aligned vectors reshape for free — no pad pass."""
+    import jax.numpy as jnp
+    n = x.shape[0]
+    nb = max(-(-n // TILE3), 1)
+    if nb * TILE3 != n:
+        xp = jnp.zeros(nb * TILE3, dtype=x.dtype).at[:n].set(x)
+    else:
+        xp = x
+    return xp.reshape(nb, L, L), nb
+
+
+def fused_delta_dia_apply(meta, arrays, dia_pack, x,
+                          nrows_part: int, ncols: int):
+    """Traced fused pipeline: returns the dense (nrows_part,) partial
+    covering the paged delta elements AND every DIA table.
+
+    ``dia_pack`` is the result of :func:`pad_dias_for_k3` with its dv
+    grids replaced by device arrays (executor caches them).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    T, q, npages, inst, n_res, n_left = meta
+    dt = str(np.dtype(x.dtype))
+    Dq = -(-nrows_part // L)
+    D2R = -(-Dq // L)
+
+    # --- K1 ---
+    npages_pad = max(npages, q)
+    if npages_pad * PAGE == ncols:
+        x2 = x.reshape(npages_pad, 8, L)
+    else:
+        x2 = jnp.zeros(npages_pad * PAGE,
+                       dtype=x.dtype).at[:ncols].set(x).reshape(
+            npages_pad, 8, L)
+    a1_3d = _build_k1(T, q, dt)(arrays["plo"], arrays["sl"],
+                                arrays["vals"], arrays["g1"], x2)
+    A1 = a1_3d.reshape(T * 8, L)
+
+    # --- K2 per instance ---
+    e1s = []
+    for i, (S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1) in enumerate(inst):
+        Ai = A1[a0:a1]
+        if S1p != S1c:
+            Ai = jnp.pad(Ai, ((0, S1p - S1c), (0, 0)))
+        A1T = Ai.T.reshape(L, A2R, L)
+        e1s.append(_build_k2(A2R, W2, D2R, dt)(
+            A1T, arrays[f"g2a_{i}"], arrays[f"g2b_{i}"],
+            arrays[f"g2c_{i}"]))
+
+    # --- K3 ---
+    dia_offsets, dv, anti_offsets, adv = dia_pack
+    xb, nb_x = _to_blocks(x) if dia_offsets else (None, 1)
+    if anti_offsets:
+        # anti offset s reads x[s - r] = xr[r + o'] with o' = ncols-1-s:
+        # rebase to the reversed-x frame and reuse the diagonal windows
+        xrb, nb_xr = _to_blocks(x[::-1])
+        anti_rebased = tuple((ncols - 1 - s) for s in anti_offsets)
+    else:
+        xrb, nb_xr = None, 1
+        anti_rebased = ()
+    inst_ks = tuple(m[5] for m in inst)
+    call = _build_k3(D2R, inst_ks, dia_offsets, anti_rebased,
+                     nb_x, nb_xr, dt)
+    ops = []
+    for i in range(len(inst)):
+        ops.extend([e1s[i].reshape(L, D2R * L), arrays[f"g3_{i}"]])
+    if dia_offsets:
+        ops.append(dv)
+        ops.extend([xb] * (2 * len({o // TILE3 for o in dia_offsets})))
+    if anti_rebased:
+        ops.append(adv)
+        ops.extend([xrb] * (2 * len({o // TILE3 for o in anti_rebased})))
+    y3 = call(*ops)
+    acc = y3.reshape(-1)
+    if acc.shape[0] != nrows_part:
+        acc = acc[:nrows_part]
+
+    # --- residual + unpageable spill (XLA, tiny) ---
+    if n_res:
+        prods = arrays["res_vals"] * jnp.take(x, arrays["res_cols"])
+        acc = acc.at[arrays["res_dest"]].add(prods, mode="drop")
+    if n_left:
+        prods = arrays["left_vals"] * jnp.take(
+            x, arrays["left_cols"], mode="clip")
+        acc = acc.at[arrays["left_rows"]].add(prods, mode="drop")
+    return acc

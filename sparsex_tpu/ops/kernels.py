@@ -292,8 +292,28 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
             if dvals is not None:
                 acc = acc + dvals * x_own
 
+    # meta[5:] holds tagged extras: ("dfused", fmeta, dia_offs, anti_offs)
+    # for the fused delta+DIA pipeline (ops/fused.py); ("dpages", T, q,
+    # npages) for the legacy paged delta, ("dpagesT", ...) for the
+    # symmetric transposed one.  One padded x2 page-form is shared by
+    # every legacy paged consumer.
+    extras = {e[0]: e[1:] for e in meta[5:] if e}
+
+    # --- fused delta + DIA: three kernels, y written once ---
+    dfused = extras.get("dfused")
+    if dfused is not None:
+        # the executor builds this variant only for 1-D non-symmetric
+        # dispatch (SpMM reaches it through the per-column lax.map)
+        assert not mm and not symmetric, "fused pipeline is 1-D only"
+        from sparsex_tpu.ops.fused import fused_delta_dia_apply
+        fmeta, dia_offs, anti_offs = dfused
+        pack = (dia_offs, arrs.get("dias_fused_dv"), anti_offs,
+                arrs.get("dias_fused_adv"))
+        acc = acc + fused_delta_dia_apply(fmeta, arrs["fused"], pack, x,
+                                          nrows_part, ncols)
+
     # --- dense diagonals (elementwise, HBM-bound) ---
-    if dia_meta:
+    if dia_meta and dfused is None:
         acc, z2 = dia_contrib(dia_meta, arrs["dias"], x, nrows_part,
                               row_start, acc,
                               z=z if symmetric else None,
@@ -301,14 +321,6 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
                               ncols=ncols, use_pallas=use_pallas)
         if symmetric:
             z = z2
-
-    # --- page-bucketed delta (Pallas x-gather + XLA scatter) ---
-    # meta[5:] holds tagged extras: ("dpages", T, q, npages) for the direct
-    # contribution, ("dpagesT", T, q, npages) for the symmetric transposed
-    # one (gathers x at the sorted owned rows, scatters into z by column).
-    # One padded x2 page-form is shared by every paged consumer (each copy
-    # is a full pass over an ncols-sized buffer).
-    extras = {e[0]: e[1:] for e in meta[5:] if e}
     page_sigs = [extras[k] for k in ("dpages", "dpagesT") if k in extras]
     page_sigs += [e[3] for e in run_meta if len(e) > 3 and e[3]]
     page_sigs += [e[3] for e in block_meta if len(e) > 3 and e[3]]

@@ -121,7 +121,7 @@ MIN_PAGE_NNZ = 1 << 14  # below this the XLA gather is cheaper than a plan
 
 def build_delta_pages(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
                       ncols: int, nrows_part: int, q_force: int = 0,
-                      t_force: int = 0, sort_key=None):
+                      t_force: int = 0, sort_key=None, group_ids=None):
     """Host-side layout for the page-bucketed delta kernel.
 
     Returns (pages_rep, leftover_idx) where ``pages_rep`` is None when the
@@ -140,49 +140,78 @@ def build_delta_pages(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
         return None, None
     order = np.argsort(cols if sort_key is None else sort_key,
                        kind="stable")
-    csort = cols[order].astype(np.int64)
     npages = -(-ncols // PAGE)
 
-    # split into tiles of DELTA_TILE consecutive (col-sorted) elements and
-    # spill tiles spanning too many pages
-    keep_tiles = []
-    leftover = []
-    for t0 in range(0, m, DELTA_TILE):
-        t1 = min(m, t0 + DELTA_TILE)
-        p_lo = int(csort[t0:t1].min() // PAGE)
-        p_hi = int(csort[t0:t1].max() // PAGE)
-        if p_hi - p_lo + 1 > MAX_Q:
-            leftover.append(order[t0:t1])
-        else:
-            keep_tiles.append((t0, t1, p_lo))
-    if not keep_tiles or sum(t1 - t0 for t0, t1, _ in keep_tiles) < m // 2:
-        return None, None
+    # Vectorized tiling (the old per-tile Python loop dominated pt on
+    # large matrices): optional group labels partition the sorted stream
+    # into tile-aligned segments (the fused route pipeline aligns chunk
+    # folds to product tiles this way); each group's elements fill
+    # DELTA_TILE-sized tiles, ragged tails padded.
+    if group_ids is None:
+        el_tile = np.arange(m, dtype=np.int64) // DELTA_TILE
+        lane = np.arange(m, dtype=np.int64) % DELTA_TILE
+    else:
+        g = np.asarray(group_ids)[order]
+        # group start positions in the sorted stream (caller's sort_key
+        # must make groups contiguous)
+        new_grp = np.empty(m, dtype=bool)
+        new_grp[0] = True
+        np.not_equal(g[1:], g[:-1], out=new_grp[1:])
+        starts = np.flatnonzero(new_grp)
+        gi = np.cumsum(new_grp) - 1                    # dense group index
+        pos_in_grp = np.arange(m, dtype=np.int64) - starts[gi]
+        sizes = np.diff(np.append(starts, m))
+        tiles_per_grp = -(-sizes // DELTA_TILE)
+        tile_base = np.concatenate(
+            [[0], np.cumsum(tiles_per_grp)[:-1]])
+        el_tile = tile_base[gi] + pos_in_grp // DELTA_TILE
+        lane = pos_in_grp % DELTA_TILE
 
-    T = len(keep_tiles)
-    q = max(min(int(csort[t0:t1].max() // PAGE) - plo + 1, MAX_Q)
-            for t0, t1, plo in keep_tiles)
+    csort = cols[order].astype(np.int64)
+    pages = csort // PAGE
+    # per-tile page span via reduceat (el_tile is nondecreasing; every
+    # tile index in [0, T_all) is hit because groups fill tiles densely)
+    tile_starts = np.flatnonzero(
+        np.concatenate([[True], el_tile[1:] != el_tile[:-1]]))
+    T_all = int(el_tile[-1]) + 1
+    pmin = np.minimum.reduceat(pages, tile_starts)
+    pmax = np.maximum.reduceat(pages, tile_starts)
+    span = pmax - pmin + 1
+    keepm = span <= MAX_Q
+
+    keep_el = keepm[el_tile]
+    kept_pos = np.flatnonzero(keep_el)
+    if kept_pos.size < max(m // 2, 1):
+        return None, None
+    leftover_idx = order[~keep_el]
+
+    kt = np.flatnonzero(keepm)
+    T = kt.size
+    q = int(span[kt].max())
     q = max(q, q_force)
     # clamp p_lo so the Q-page window stays inside x2; t_force pads with
     # all-zero dummy tiles (vals 0, rows = sentinel -> dropped)
+    newt_of_tile = np.cumsum(keepm) - 1                # tile -> kept index
+    plo_kept = np.minimum(pmin[kt],
+                          max(0, npages - q)).astype(np.int32)
     T_out = max(T, t_force)
     plo_arr = np.zeros(T_out, dtype=np.int32)
+    plo_arr[:T] = plo_kept
     # combined window offset sl = sub*128 + lane (< q*1024 <= 8192): ONE
-    # int32 stream instead of separate sub/lane arrays — the delta path is
+    # int16 stream instead of separate sub/lane arrays — the delta path is
     # bandwidth-bound metadata (the reference picks 8/16/32-bit deltas for
-    # the same reason, GetDeltaSize CsxManager.hpp:635-682).
-    sl = np.zeros((T_out, DELTA_TILE), dtype=np.int32)
+    # the same reason, GetDeltaSize CsxManager.hpp:635-682).  q <= 8 so
+    # the offset always fits int16; kernels upcast at load.
+    sl = np.zeros((T_out, DELTA_TILE), dtype=np.int16)
     v = np.zeros((T_out, DELTA_TILE), dtype=vals.dtype)
     r = np.full((T_out, DELTA_TILE), nrows_part, dtype=np.int32)
-    for ti, (t0, t1, plo) in enumerate(keep_tiles):
-        plo = min(plo, max(0, npages - q))
-        plo_arr[ti] = plo
-        sel = order[t0:t1]
-        c = cols[sel].astype(np.int64)
-        off = c - plo * PAGE  # in [0, q*PAGE)
-        n = sel.size
-        sl[ti, :n] = off.astype(np.int32)
-        v[ti, :n] = vals[sel]
-        r[ti, :n] = rows[sel]
+    sel = order[kept_pos]
+    ti = newt_of_tile[el_tile[kept_pos]]
+    la = lane[kept_pos]
+    sl[ti, la] = (csort[kept_pos]
+                  - plo_arr[ti].astype(np.int64) * PAGE).astype(np.int16)
+    v[ti, la] = vals[sel]
+    r[ti, la] = rows[sel]
     rep = {
         "plo": plo_arr,
         "sl": sl.reshape(T_out, 8, 128),
@@ -191,8 +220,12 @@ def build_delta_pages(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
         "q": int(q),
         "npages": int(npages),
     }
-    leftover_idx = (np.concatenate(leftover) if leftover
-                    else np.zeros(0, dtype=np.int64))
+    if group_ids is not None:
+        # per kept tile: its group label (t_force dummy tiles get -1);
+        # the fused route planner cuts chunks at group boundaries
+        tg = np.full(T_out, -1, dtype=np.int64)
+        tg[:T] = np.asarray(group_ids)[order[tile_starts[kt]]]
+        rep["tile_group"] = tg
     return rep, leftover_idx
 
 
@@ -215,7 +248,7 @@ def _build_delta_kernel(T: int, q: int, dtype_str: str):
     def kernel(plo_ref, sl_ref, val_ref, *page_refs_and_out):
         page_refs = page_refs_and_out[:q]
         out_ref = page_refs_and_out[q]
-        sl = sl_ref[0]
+        sl = sl_ref[0].astype(jnp.int32)   # sl streams are int16 in HBM
         sub = jax.lax.shift_right_logical(sl, jnp.int32(7))
         lane = jax.lax.bitwise_and(sl, jnp.int32(127))
         total = jnp.zeros((8, 128), dtype=dtype)
@@ -366,7 +399,7 @@ def _build_gather_kernel(T: int, q: int, dtype_str: str):
     def kernel(plo_ref, sl_ref, *page_refs_and_out):
         page_refs = page_refs_and_out[:q]
         out_ref = page_refs_and_out[q]
-        sl = sl_ref[0]
+        sl = sl_ref[0].astype(jnp.int32)   # int16 or int32 in HBM
         sub = jax.lax.shift_right_logical(sl, jnp.int32(7))
         lane = jax.lax.bitwise_and(sl, jnp.int32(127))
         total = jnp.zeros((8, 128), dtype=dtype)

@@ -86,15 +86,14 @@ def _chunk_ranges(dest: np.ndarray, n_dest: int, S1_total: int):
     fold = np.full(dest.size, -1, dtype=np.int64)
     idx = np.flatnonzero(valid)
     fold[idx] = _rank_within(dest[idx] // L) // L
-    # per-row label: max fold present in the row (monotone when pre-sorted)
+    # per-row label: max fold present in the row (monotone when pre-sorted);
+    # cut where the fold steps between consecutive fold-carrying rows
     row_fold = fold.reshape(S1_total, L).max(axis=1)
     cuts = {0, S1_total}
-    last = row_fold[0]
-    for i in range(1, S1_total):
-        if row_fold[i] != last and row_fold[i] >= 0:
-            if last >= 0:
-                cuts.add(i)
-            last = row_fold[i]
+    vrows = np.flatnonzero(row_fold >= 0)
+    if vrows.size:
+        vf = row_fold[vrows]
+        cuts.update(int(i) for i in vrows[1:][vf[1:] != vf[:-1]])
     bounds = sorted(cuts)
     ranges = []
     for lo, hi in zip(bounds[:-1], bounds[1:]):
@@ -105,7 +104,8 @@ def _chunk_ranges(dest: np.ndarray, n_dest: int, S1_total: int):
 
 def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
                        min_elems: int = None,
-                       uniform_chunks: bool = False):
+                       uniform_chunks: bool = False,
+                       ranges=None):
     """Plan the routing network for ``out[d] += src[e]`` over all e with
     ``dest[e] == d``.
 
@@ -147,7 +147,9 @@ def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
     arrays: List[Dict[str, np.ndarray]] = []
     res_pos_all: List[np.ndarray] = []
 
-    if uniform_chunks:
+    if ranges is not None:
+        pass          # caller-supplied chunk boundaries (fused pipeline)
+    elif uniform_chunks:
         ranges = [(a0, min(S1_total, a0 + CHUNK_SRC_ROWS))
                   for a0 in range(0, S1_total, CHUNK_SRC_ROWS)]
     else:

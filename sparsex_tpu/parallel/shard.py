@@ -421,7 +421,7 @@ def stack_delta_pages(arrays, meta, shards: List[CsxTables],
             # all-dummy rep: every tile padded, rows -> sentinel
             reps[i] = {
                 "plo": np.zeros(t_max, dtype=np.int32),
-                "sl": np.zeros((t_max, 8, 128), dtype=np.int32),
+                "sl": np.zeros((t_max, 8, 128), dtype=np.int16),
                 "vals": np.zeros((t_max, 8, 128), dtype=vdt0),
                 "rows": np.full(t_max * DELTA_TILE, max_rows,
                                 dtype=np.int32),

@@ -241,10 +241,15 @@ class Encoder:
                 t, ru.delta, hr, hc, ru.sizes, padded,
                 value_dtype=self.cfg.value_dtype,
                 index_dtype=self.cfg.index_dtype))
-        keep = ~covered
-        self.rows = take1(self.rows, order)[keep]
-        self.cols = take1(self.cols, order)[keep]
-        self.vals = vals_sorted[keep]
+        # Remaining elements: inverse-transform the mined (already sorted)
+        # coordinates at the kept positions — avoids two full-size random
+        # permutes (the dominant pt cost on large matrices; the reference
+        # pays the same via its Transform re-sorts, SparsePartition.hpp).
+        keep_pos = np.flatnonzero(~covered)
+        self.rows, self.cols = from_xform(
+            t, res.trows[keep_pos], res.tcols[keep_pos],
+            self.nrows, self.ncols)
+        self.vals = vals_sorted[keep_pos]
         # NOTE: elements stay in the mined type's iteration order (the
         # reference also keeps its partition in the last Transform's order,
         # SparsePartition.hpp:680-744); finalize() restores row-major.
@@ -324,10 +329,11 @@ class Encoder:
             )
             # forced mode continues with the next listed k only
 
-        keep = ~covered
-        self.rows = take1(self.rows, order)[keep]
-        self.cols = take1(self.cols, order)[keep]
-        self.vals = vals_sorted[keep]
+        keep_pos = np.flatnonzero(~covered)
+        self.rows, self.cols = from_xform(
+            t, res.trows[keep_pos], res.tcols[keep_pos],
+            self.nrows, self.ncols)
+        self.vals = vals_sorted[keep_pos]
 
     def _resort(self) -> None:
         order = lexsort_rc(self.rows, self.cols)

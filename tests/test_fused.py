@@ -1,0 +1,222 @@
+"""Fused routed-delta + DIA pipeline (interpret mode on CPU).
+
+Covers the three fused kernels of ``ops/fused.py`` (product+G1, the
+VMEM-resident middle stage, G3+DIA+single-y-write) against the COO oracle,
+plus plan-construction edge cases: ragged/rectangular shapes,
+anti-diagonals, residual capacity overflow and the executor integration.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+import sparsex_tpu.ops.fused as fused
+import sparsex_tpu.ops.pallas_kernels as pk
+from sparsex_tpu.ops import route as route_mod
+
+
+@pytest.fixture(autouse=True)
+def small_thresholds(monkeypatch):
+    monkeypatch.setattr(fused, "MIN_FUSED_NNZ", 256)
+    monkeypatch.setattr(pk, "MIN_PAGE_NNZ", 64)
+    monkeypatch.setattr(route_mod, "MIN_ELEMS", 64)
+    yield
+
+
+def _mk_singles(rng, n, ncols, m):
+    rows = rng.integers(0, n, m)
+    cols = rng.integers(0, ncols, m)
+    key = rows.astype(np.int64) * ncols + cols
+    _, u = np.unique(key, return_index=True)
+    rows, cols = rows[u], cols[u]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    return rows, cols, vals
+
+
+def _run(meta, arrays, dias_meta, dias_arrays, x, n, ncols):
+    pack = fused.pad_dias_for_k3(dias_meta, dias_arrays, n)
+    with pltpu.force_tpu_interpret_mode():
+        acc = fused.fused_delta_dia_apply(
+            meta, jax.device_put(arrays), pack, jnp.asarray(x), n, ncols)
+    return np.asarray(acc, dtype=np.float64)
+
+
+def _oracle(n, ncols, rows, cols, vals, dias_meta, dias_arrays, x):
+    want = np.zeros(n, np.float64)
+    np.add.at(want, rows, vals.astype(np.float64) * x[cols])
+    r = np.arange(n)
+    for (anti, offs, _), t in zip(dias_meta, dias_arrays):
+        dv = t["vals"]
+        for k, o in enumerate(offs):
+            if anti:
+                ok = (o - r >= 0) & (o - r < ncols)
+                want[r[ok]] += dv[k, r[ok]] * x[(o - r)[ok]]
+            else:
+                ok = (r + o >= 0) & (r + o < ncols)
+                want[r[ok]] += dv[k, r[ok]] * x[(r + o)[ok]]
+    return want
+
+
+@pytest.mark.parametrize("n,ncols,m", [
+    (1 << 15, 1 << 15, 12000),       # square aligned
+    (100000, 90000, 20000),          # ragged + rectangular
+])
+def test_fused_delta_only(n, ncols, m):
+    rng = np.random.default_rng(0)
+    rows, cols, vals = _mk_singles(rng, n, ncols, m)
+    meta, arrays = fused.build_fused_delta(cols.astype(np.int64),
+                                           rows.astype(np.int64), vals,
+                                           ncols, n)
+    assert meta is not None
+    x = rng.standard_normal(ncols).astype(np.float32)
+    acc = _run(meta, arrays, [], [], x, n, ncols)
+    want = _oracle(n, ncols, rows, cols, vals, [], [], x)
+    assert np.abs(acc - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_fused_with_dias_and_anti():
+    rng = np.random.default_rng(1)
+    n = ncols = 1 << 15
+    rows, cols, vals = _mk_singles(rng, n, ncols, 9000)
+    meta, arrays = fused.build_fused_delta(cols.astype(np.int64),
+                                           rows.astype(np.int64), vals,
+                                           ncols, n)
+    assert meta is not None
+    r = np.arange(n)
+    dias_meta = [(False, (0, 5, -7), 3), (True, (n - 1, n + 3), 2)]
+    dv = rng.standard_normal((3, n)).astype(np.float32)
+    for k, o in enumerate((0, 5, -7)):
+        dv[k, (r + o < 0) | (r + o >= ncols)] = 0
+    av = rng.standard_normal((2, n)).astype(np.float32)
+    for k, s in enumerate((n - 1, n + 3)):
+        av[k, (s - r < 0) | (s - r >= ncols)] = 0
+    dias_arrays = [{"vals": dv}, {"vals": av}]
+    x = rng.standard_normal(ncols).astype(np.float32)
+    acc = _run(meta, arrays, dias_meta, dias_arrays, x, n, ncols)
+    want = _oracle(n, ncols, rows, cols, vals, dias_meta, dias_arrays, x)
+    assert np.abs(acc - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_fused_residual_capacity():
+    """A few very hot destination rows force over-capacity residuals; the
+    XLA residual scatter must pick them up exactly."""
+    rng = np.random.default_rng(2)
+    n = 1 << 14
+    hot = np.repeat(np.arange(16), 12)          # 16 rows x 12 entries
+    rows = np.concatenate([hot, rng.integers(0, n, 4000)])
+    cols = rng.integers(0, n, rows.size)
+    key = rows.astype(np.int64) * n + cols
+    _, u = np.unique(key, return_index=True)
+    rows, cols = rows[u], cols[u]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    meta, arrays = fused.build_fused_delta(cols.astype(np.int64),
+                                           rows.astype(np.int64), vals,
+                                           n, n, max_k=4)
+    assert meta is not None
+    assert meta[4] > 0, "expected residual elements"
+    x = rng.standard_normal(n).astype(np.float32)
+    acc = _run(meta, arrays, [], [], x, n, n)
+    want = _oracle(n, n, rows, cols, vals, [], [], x)
+    assert np.abs(acc - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_fused_multi_fold_instances():
+    """Moderately hot pages exercise multiple capacity folds (several
+    route instances feeding one K3)."""
+    rng = np.random.default_rng(3)
+    n = 1 << 14
+    # ~380 elements into the first 128-row dest page -> ~3 capacity
+    # folds; every page-0 column stays clustered (pageable) so the folds
+    # are routed, not spilled; the background avoids page 0 entirely
+    hotpage = rng.integers(0, 128, 400)         # rows 0..127
+    hotcols = rng.integers(0, 4096, 400)
+    rows = np.concatenate([hotpage, rng.integers(128, n, 6000)])
+    cols = np.concatenate([hotcols, rng.integers(0, n, 6000)])
+    key = rows.astype(np.int64) * n + cols
+    _, u = np.unique(key, return_index=True)
+    rows, cols = rows[u], cols[u]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    meta, arrays = fused.build_fused_delta(cols.astype(np.int64),
+                                           rows.astype(np.int64), vals,
+                                           n, n, max_k=128)
+    assert meta is not None
+    assert len(meta[3]) > 1, "expected multiple route instances"
+    x = rng.standard_normal(n).astype(np.float32)
+    acc = _run(meta, arrays, [], [], x, n, n)
+    want = _oracle(n, n, rows, cols, vals, [], [], x)
+    assert np.abs(acc - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_executor_fused_end_to_end(monkeypatch):
+    """CsxExecutor builds and dispatches the fused variant; alpha/beta and
+    the oracle check ride through ``__call__``."""
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    cfg = Config.instance()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.preproc.xform", "all")
+
+    rng = np.random.default_rng(6)
+    n, m = 8192, 9000
+    rows_l, cols_l = [], []
+    for b in (0, 3, -2):
+        r = np.arange(max(0, -b), min(n, n - b))
+        rows_l.append(r)
+        cols_l.append(r + b)
+    s = n
+    r = np.arange(max(0, s - n + 1), min(n, s + 1))
+    rows_l.append(r)
+    cols_l.append(s - r)
+    rows_l.append(rng.integers(0, n, m))
+    cols_l.append(rng.integers(0, n, m))
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    key = rows * n + cols
+    _, uniq = np.unique(key, return_index=True)
+    rows, cols = rows[uniq], cols[uniq]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    ex = mat.executors[0]
+    with pltpu.force_tpu_interpret_mode():
+        assert ex._pages_active()
+        extras = {e[0]: e[1:] for e in ex._pages_meta[5:] if e}
+        assert "dfused" in extras, "fused plan not built"
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(ex(jnp.asarray(x)))
+        y0 = rng.standard_normal(n).astype(np.float32)
+        y2 = np.asarray(ex(jnp.asarray(x), alpha=2.5, beta=0.5,
+                           y=jnp.asarray(y0)))
+    ref = np.zeros(n, np.float64)
+    np.add.at(ref, rows, vals.astype(np.float64) * x[cols])
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+    ref2 = 2.5 * ref + 0.5 * y0
+    assert np.abs(y2 - ref2).max() / np.abs(ref2).max() < 1e-5
+
+
+def test_stacked_planner_bail_logs_warning():
+    """VERDICT r2 #8: a route-plan rejection must log a WARNING naming the
+    fallback, never degrade silently."""
+    from sparsex_tpu.logger import Level, LoggingHandler
+
+    msgs = []
+    handler = LoggingHandler.instance()
+    old = dict(handler.sinks)
+    try:
+        handler.set_sink(Level.WARNING, msgs.append)
+        rng = np.random.default_rng(5)
+        # all elements into ONE row: k-multiplicity blows max_k for sure
+        dest = np.zeros(128 * 64, dtype=np.int64)
+        plan = route_mod.build_scatter_plan(dest, 1 << 14, max_k=2,
+                                            min_elems=1)
+        assert plan is None
+        assert any("scatter-route plan rejected" in m for m in msgs)
+    finally:
+        handler.sinks.update(old)
