@@ -208,21 +208,13 @@ class CsxExecutor:
                 dvals = dvals.astype(np.float32)
             cols64 = np.asarray(d.cols, dtype=np.int64)
             rows64 = np.asarray(d.row_ids, dtype=np.int64)
-            from sparsex_tpu.ops.fused import (build_fused_delta,
-                                               pad_dias_for_k3)
+            from sparsex_tpu.ops.fused import build_fused_delta
             fmeta, farrs = build_fused_delta(cols64, rows64, dvals,
                                              ncols, self.tables.nrows)
             if fmeta is not None:
                 arrays["fused"] = farrs
                 arrays["delta"] = None  # leftover lives inside farrs
-                dia_offs, dv, anti_offs, adv = pad_dias_for_k3(
-                    self.meta[4], arrays["dias"], self.tables.nrows)
-                if dv is not None:
-                    arrays["dias_fused_dv"] = dv
-                if adv is not None:
-                    arrays["dias_fused_adv"] = adv
-                arrays["dias"] = []  # K3 carries the (padded) dv streams
-                dfused_entry = ("dfused", fmeta, dia_offs, anti_offs)
+                dfused_entry = ("dfused", fmeta)
                 changed = True
         if d is not None and d.nnz and dfused_entry is None:
             from sparsex_tpu.ops.route import fold_sort_key
@@ -260,20 +252,16 @@ class CsxExecutor:
         from sparsex_tpu.ops.route import build_scatter_plan
 
         def _scatter_entry(entry_arrays, dest_flat):
-            """Try a y-side route plan for a unit table's scatter; returns
-            the static meta entry (or None) and stores arrays in place."""
-            M = dest_flat.size
-            M_pad = -(-M // 128) * 128
-            if M_pad != M:
-                dest_flat = np.concatenate(
-                    [dest_flat, np.full(M_pad - M, -1, dtype=np.int64)])
-            plan = build_scatter_plan(dest_flat, self.tables.nrows)
-            if plan is None:
+            """Route plan for a unit table's y scatter, in the shared-K3
+            segment form (``ops/fused.plan_partial_segment``); returns
+            the static meta entry (or None), storing arrays in place."""
+            from sparsex_tpu.ops.fused import plan_partial_segment
+            seg = plan_partial_segment(dest_flat, self.tables.nrows)
+            if seg is None:
                 return None
-            smetas, sarrs, res_pos, res_dest = plan
-            entry_arrays["scatter"] = {"chunks": sarrs, "res_pos": res_pos,
-                                       "res_dest": res_dest}
-            return (smetas, bool(res_pos.size), M_pad)
+            inst_meta, seg_arrays, has_res, M_pad = seg
+            entry_arrays["fscatter"] = seg_arrays
+            return ("fs", inst_meta, has_res, M_pad)
 
         # --- run tables: unit-page gather plans (x-reading types only)
         #     + y-side scatter routes ---
@@ -346,14 +334,30 @@ class CsxExecutor:
 
         if not changed:
             return
+        # DIA tables ride the shared K3 whenever ANY fused segment exists
+        # (delta pipeline or a unit table's routed partials)
+        k3dias_entry = None
+        any_fs = (dfused_entry is not None
+                  or any(len(e) > 4 and e[4] and e[4][0] == "fs"
+                         for e in run_meta + block_meta))
+        if any_fs and self.meta[4]:
+            from sparsex_tpu.ops.fused import pad_dias_for_k3
+            dia_offs, dv, anti_offs, adv = pad_dias_for_k3(
+                self.meta[4], arrays["dias"], self.tables.nrows)
+            if dv is not None:
+                arrays["dias_fused_dv"] = dv
+            if adv is not None:
+                arrays["dias_fused_adv"] = adv
+            arrays["dias"] = []  # K3 carries the (padded) dv streams
+            k3dias_entry = ("k3dias", dia_offs, anti_offs)
         arrays["runs"] = run_arrays
         arrays["blocks"] = block_arrays
         self._pages_arrays = arrays
         meta = list(self.meta)
         meta[2] = tuple(run_meta)
         meta[3] = tuple(block_meta)
-        extras = [e for e in (dmeta_entry, dscatter_entry, dfused_entry)
-                  if e]
+        extras = [e for e in (dmeta_entry, dscatter_entry, dfused_entry,
+                              k3dias_entry) if e]
         self._pages_meta = tuple(meta) + tuple(extras)
 
     def invalidate_value_caches(self) -> None:

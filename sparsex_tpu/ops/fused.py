@@ -60,10 +60,10 @@ def build_fused_delta(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
     ``inst`` is a tuple of per-instance ``(S1c, S1p, A2R, D2R, Dp, K, W2,
     a0, a1)`` route metas; ``arrays`` holds the device streams:
 
-    - ``plo`` (T,) i32, ``sl`` (T,8,128) i16, ``vals`` (T,8,128) f32,
-      ``g1`` (T,8,128) i8 — K1 inputs;
-    - per instance ``g2a``/``g2b``/``g2c`` i8 (K2) and ``g3`` i8 padded to
-      (K, D2R*128, L) (K3);
+    - ``plo`` (T,) i32, ``mg`` (T,8,128) i32 (packed window offset + G1
+      wire, :func:`pack_k1_meta`), ``vals`` (T,8,128) f32 — K1 inputs;
+    - per instance ``g2a``/``g2b``/``g2c`` i8 (K2) and ``g3`` i8 in
+      dest-page-major (D2R, K, L, L) form (K3);
     - ``res_cols``/``res_dest``/``res_vals`` — over-capacity elements
       (XLA scatter, tiny); ``left_*`` — unpageable spill (XLA delta path).
     """
@@ -122,9 +122,9 @@ def build_fused_delta(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
     D2R = metas[0][3]
     arrays: Dict[str, np.ndarray] = {
         "plo": rep["plo"],
-        "sl": rep["sl"],
+        "mg": pack_k1_meta(rep["sl"].reshape(T, 8, L),
+                           g1_all.reshape(T, 8, L)),
         "vals": rep["vals"],
-        "g1": g1_all.reshape(T, 8, L),
     }
     inst_meta = []
     for i, (meta_i, arrs_i) in enumerate(zip(metas, arrs_list)):
@@ -137,7 +137,9 @@ def build_fused_delta(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
         g3 = arrs_i["g3"]                      # (K, Dp, L)
         g3p = np.full((g3.shape[0], D2R * L, L), -1, dtype=np.int8)
         g3p[:, : g3.shape[1]] = g3
-        arrays[f"g3_{i}"] = g3p.reshape(g3.shape[0], D2R, L, L)
+        # dest-page-major (D2R, K, L, L): one contiguous DMA per K3 step
+        arrays[f"g3_{i}"] = np.ascontiguousarray(
+            g3p.reshape(g3.shape[0], D2R, L, L).transpose(1, 0, 2, 3))
         inst_meta.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1))
 
     # residual (over-capacity) elements: their products are recomputed in
@@ -186,14 +188,28 @@ def pad_dias_for_k3(dias_meta, dias_arrays, nrows_part: int):
         else:
             offs.extend(int(o) for o in offsets)
             dvs.append(dvp)
-    pack = lambda vs: (np.concatenate(vs, axis=0).reshape(
-        -1, D2R, L, L) if vs else None)
+    def pack(vs):
+        if not vs:
+            return None
+        # dest-page-major (D2R, D, L, L): one contiguous DMA per K3 step
+        v = np.concatenate(vs, axis=0).reshape(-1, D2R, L, L)
+        return np.ascontiguousarray(v.transpose(1, 0, 2, 3))
     return tuple(offs), pack(dvs), tuple(aoffs), pack(advs)
 
 
 # ---------------------------------------------------------------------------
 # K1: page-gather product + G1 lane route
 # ---------------------------------------------------------------------------
+
+def pack_k1_meta(sl: np.ndarray, g1: np.ndarray) -> np.ndarray:
+    """One full-tile int32 stream per product tile: low 16 bits = the
+    page-window offset (sub*128+lane < 8192), bits 16.. = g1 wire + 1
+    (0 = masked).  Sub-tile int16/int8 blocks cost ~4x their traffic in
+    DMA overhead per grid step (measured r3); packing restores full-tile
+    DMAs and halves the stream count."""
+    return (sl.astype(np.int32) & 0x3FFF) | (
+        (g1.astype(np.int32) + 1) << 16)
+
 
 @functools.lru_cache(maxsize=64)
 def _build_k1(T: int, q: int, dtype_str: str):
@@ -204,10 +220,11 @@ def _build_k1(T: int, q: int, dtype_str: str):
 
     dtype = jnp.dtype(dtype_str)
 
-    def kernel(plo_ref, sl_ref, val_ref, g1_ref, *page_refs_and_out):
+    def kernel(plo_ref, mg_ref, val_ref, *page_refs_and_out):
         page_refs = page_refs_and_out[:q]
         out_ref = page_refs_and_out[q]
-        sl = sl_ref[0].astype(jnp.int32)
+        mg = mg_ref[0]
+        sl = jax.lax.bitwise_and(mg, jnp.int32(0x3FFF))
         sub = jax.lax.shift_right_logical(sl, jnp.int32(7))
         lane = jax.lax.bitwise_and(sl, jnp.int32(127))
         total = jnp.zeros((8, L), dtype=dtype)
@@ -219,17 +236,15 @@ def _build_k1(T: int, q: int, dtype_str: str):
                 total = total + jnp.where(sub == j * 8 + k, tk,
                                           jnp.zeros((), dtype))
         prod = total * val_ref[0]
-        g1 = g1_ref[0].astype(jnp.int32)
+        g1 = jax.lax.shift_right_logical(mg, jnp.int32(16)) - 1
         g = jnp.take_along_axis(prod, jnp.maximum(g1, 0), axis=1)
         out_ref[0] = jnp.where(g1 >= 0, g, jnp.zeros((), dtype))
 
     tile_specs = [
         pl.BlockSpec((1, 8, L), lambda i, m: (i, 0, 0),
-                     memory_space=pltpu.VMEM),   # sl
+                     memory_space=pltpu.VMEM),   # mg (packed sl+g1)
         pl.BlockSpec((1, 8, L), lambda i, m: (i, 0, 0),
                      memory_space=pltpu.VMEM),   # vals
-        pl.BlockSpec((1, 8, L), lambda i, m: (i, 0, 0),
-                     memory_space=pltpu.VMEM),   # g1
     ]
     page_specs = [pl.BlockSpec(
         (1, 8, L), functools.partial(lambda i, m, j=j: (m[i] + j, 0, 0)),
@@ -245,8 +260,8 @@ def _build_k1(T: int, q: int, dtype_str: str):
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, 8, L), dtype))
 
-    def fn(plo, sl, vals, g1, x2):
-        return call(plo, sl, vals, g1, *([x2] * q))
+    def fn(plo, mg, vals, x2):
+        return call(plo, mg, vals, *([x2] * q))
 
     return fn
 
@@ -278,28 +293,31 @@ def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str):
             [x, jnp.zeros((L - x.shape[0], L), dtype)], axis=0)
         return xp.T
 
+    GC = 8  # colors per grid step: amortizes the per-step DMA overhead
+
     def kernel(a1t_ref, g2a_ref, g2b_ref, g2c_ref, out_ref):
-        B = a1t_ref[0]                      # (A2R, 128) rows asr
-        C1 = mtake(B, g2a_ref[0])           # lanes c2
-        C2p = padT(C1)                      # (128, 128) rows c2, lanes asr
-        D1 = mtake(C2p[:W2], g2b_ref[0])    # (W2, 128) lanes dsr
-        D2p = padT(D1)                      # (128, 128) rows dsr, lanes c2
-        out_ref[0] = mtake(D2p[:D2R], g2c_ref[0])   # (D2R, 128) lanes j
+        for cl in range(GC):
+            B = a1t_ref[cl]                 # (A2R, 128) rows asr
+            C1 = mtake(B, g2a_ref[cl])      # lanes c2
+            C2p = padT(C1)                  # (128, 128) rows c2, lanes asr
+            D1 = mtake(C2p[:W2], g2b_ref[cl])   # (W2, 128) lanes dsr
+            D2p = padT(D1)                  # (128, 128) rows dsr, lanes c2
+            out_ref[cl] = mtake(D2p[:D2R], g2c_ref[cl])  # (D2R,128) lanes j
 
     call = pl.pallas_call(
         kernel,
-        grid=(L,),
+        grid=(L // GC,),
         in_specs=[
-            pl.BlockSpec((1, A2R, L), lambda c: (c, 0, 0),
+            pl.BlockSpec((GC, A2R, L), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A2R, L), lambda c: (c, 0, 0),
+            pl.BlockSpec((GC, A2R, L), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W2, L), lambda c: (c, 0, 0),
+            pl.BlockSpec((GC, W2, L), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D2R, L), lambda c: (c, 0, 0),
+            pl.BlockSpec((GC, D2R, L), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, D2R, L), lambda c: (c, 0, 0),
+        out_specs=pl.BlockSpec((GC, D2R, L), lambda c: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, D2R, L), dtype),
     )
@@ -381,7 +399,7 @@ def _build_k3(D2R: int, inst_ks: Tuple[int, ...],
         for i in range(I):
             E2blk = e1s[i][...].T              # (pages, colors)
             for k in range(inst_ks[i]):
-                idx = g3s[i][k, 0].astype(jnp.int32)
+                idx = g3s[i][0, k].astype(jnp.int32)
                 g = jnp.take_along_axis(E2blk, jnp.maximum(idx, 0), axis=1)
                 total = total + jnp.where(idx >= 0, g,
                                           jnp.zeros((), dtype))
@@ -389,12 +407,12 @@ def _build_k3(D2R: int, inst_ks: Tuple[int, ...],
         if dia_offsets:
             for k in range(len(dia_offsets)):
                 w = _window(xlo[d_grp[k]][0], xhi[d_grp[k]][0], d_shift[k])
-                total = total + dv_ref[k, 0] * w
+                total = total + dv_ref[0, k] * w
         if anti_offsets:
             for k in range(len(anti_offsets)):
                 w = _window(xrlo[a_grp[k]][0], xrhi[a_grp[k]][0],
                             a_shift[k])
-                total = total + adv_ref[k, 0] * w
+                total = total + adv_ref[0, k] * w
         out_ref[0] = total
 
     in_specs = []
@@ -404,12 +422,12 @@ def _build_k3(D2R: int, inst_ks: Tuple[int, ...],
         # Mosaic's block-shape divisibility rule on the middle dim)
         in_specs.append(pl.BlockSpec((L, L), lambda i_: (0, i_),
                                      memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((K, 1, L, L),
-                                     lambda i_: (0, i_, 0, 0),
+        in_specs.append(pl.BlockSpec((1, K, L, L),
+                                     lambda i_: (i_, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
     if dia_offsets:
         in_specs.append(pl.BlockSpec(
-            (len(dia_offsets), 1, L, L), lambda i_: (0, i_, 0, 0),
+            (1, len(dia_offsets), L, L), lambda i_: (i_, 0, 0, 0),
             memory_space=pltpu.VMEM))
         for qv in d_qs:
             in_specs.append(pl.BlockSpec(
@@ -427,7 +445,7 @@ def _build_k3(D2R: int, inst_ks: Tuple[int, ...],
                 memory_space=pltpu.VMEM))
     if anti_offsets:
         in_specs.append(pl.BlockSpec(
-            (len(anti_offsets), 1, L, L), lambda i_: (0, i_, 0, 0),
+            (1, len(anti_offsets), L, L), lambda i_: (i_, 0, 0, 0),
             memory_space=pltpu.VMEM))
         for qv in a_qs:
             in_specs.append(pl.BlockSpec(
@@ -468,15 +486,9 @@ def _to_blocks(x):
     return xp.reshape(nb, L, L), nb
 
 
-def fused_delta_dia_apply(meta, arrays, dia_pack, x,
-                          nrows_part: int, ncols: int):
-    """Traced fused pipeline: returns the dense (nrows_part,) partial
-    covering the paged delta elements AND every DIA table.
-
-    ``dia_pack`` is the result of :func:`pad_dias_for_k3` with its dv
-    grids replaced by device arrays (executor caches them).
-    """
-    import jax
+def fused_delta_e1s(meta, arrays, x, ncols: int, nrows_part: int):
+    """K1 + T1 + K2 for the delta elements: returns the per-instance
+    ``(e1, g3, K)`` list ready for :func:`k3_combine`."""
     import jax.numpy as jnp
 
     T, q, npages, inst, n_res, n_left = meta
@@ -484,7 +496,6 @@ def fused_delta_dia_apply(meta, arrays, dia_pack, x,
     Dq = -(-nrows_part // L)
     D2R = -(-Dq // L)
 
-    # --- K1 ---
     npages_pad = max(npages, q)
     if npages_pad * PAGE == ncols:
         x2 = x.reshape(npages_pad, 8, L)
@@ -492,23 +503,110 @@ def fused_delta_dia_apply(meta, arrays, dia_pack, x,
         x2 = jnp.zeros(npages_pad * PAGE,
                        dtype=x.dtype).at[:ncols].set(x).reshape(
             npages_pad, 8, L)
-    a1_3d = _build_k1(T, q, dt)(arrays["plo"], arrays["sl"],
-                                arrays["vals"], arrays["g1"], x2)
+    a1_3d = _build_k1(T, q, dt)(arrays["plo"], arrays["mg"],
+                                arrays["vals"], x2)
     A1 = a1_3d.reshape(T * 8, L)
 
-    # --- K2 per instance ---
-    e1s = []
+    out = []
     for i, (S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1) in enumerate(inst):
         Ai = A1[a0:a1]
         if S1p != S1c:
             Ai = jnp.pad(Ai, ((0, S1p - S1c), (0, 0)))
         A1T = Ai.T.reshape(L, A2R, L)
-        e1s.append(_build_k2(A2R, W2, D2R, dt)(
+        e1 = _build_k2(A2R, W2, D2R, dt)(
             A1T, arrays[f"g2a_{i}"], arrays[f"g2b_{i}"],
-            arrays[f"g2c_{i}"]))
+            arrays[f"g2c_{i}"])
+        out.append((e1, arrays[f"g3_{i}"], K))
+    return out
 
-    # --- K3 ---
+
+def plan_partial_segment(dest_flat: np.ndarray, n_dest: int,
+                         max_k: int = 8):
+    """Route plan (K3 form) for an XLA-produced partial stream.
+
+    ``dest_flat``: (M,) destination row per partial (entries outside
+    [0, n_dest) = padding).  Returns ``(inst_meta, arrays, (res_pos,
+    res_dest), M_pad)`` or None.  The apply side is
+    :func:`partial_segment_e1s` — a standalone G1 lane gather over the
+    partials grid, then T1 + K2; the instances feed the shared K3.
+    """
+    M = dest_flat.size
+    M_pad = -(-M // L) * L
+    if M_pad != M:
+        dest_flat = np.concatenate(
+            [dest_flat, np.full(M_pad - M, -1, dtype=np.int64)])
+    plan = route.build_scatter_plan(dest_flat, n_dest, max_k=max_k)
+    if plan is None:
+        return None
+    metas, arrs_list, res_pos, res_dest = plan
+    if len(metas) > MAX_INSTANCES:
+        return None
+    Dq = -(-n_dest // L)
+    D2R = -(-Dq // L)
+    arrays: Dict[str, np.ndarray] = {}
+    inst_meta = []
+    for i, (meta_i, arrs_i) in enumerate(zip(metas, arrs_list)):
+        S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1 = meta_i
+        if D2Ri != D2R:
+            return None
+        arrays[f"g1_{i}"] = arrs_i["g1"]
+        arrays[f"g2a_{i}"] = arrs_i["g2a"].reshape(L, A2R, L)
+        arrays[f"g2b_{i}"] = arrs_i["g2b"].reshape(L, W2, L)
+        arrays[f"g2c_{i}"] = arrs_i["g2c"].reshape(L, D2R, L)
+        g3 = arrs_i["g3"]
+        g3p = np.full((g3.shape[0], D2R * L, L), -1, dtype=np.int8)
+        g3p[:, : g3.shape[1]] = g3
+        arrays[f"g3_{i}"] = np.ascontiguousarray(
+            g3p.reshape(g3.shape[0], D2R, L, L).transpose(1, 0, 2, 3))
+        inst_meta.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1))
+    if res_pos.size:
+        arrays["res_pos"] = res_pos
+        arrays["res_dest"] = res_dest
+    return tuple(inst_meta), arrays, bool(res_pos.size), M_pad
+
+
+def partial_segment_e1s(inst_meta, arrays, partials_flat,
+                        nrows_part: int):
+    """Traced G1 + T1 + K2 over a flat partial stream (already padded to
+    M_pad); returns the ``(e1, g3, K)`` list for :func:`k3_combine`."""
+    import jax.numpy as jnp
+    from sparsex_tpu.ops.route import _build_lane_gather
+
+    dt = str(np.dtype(partials_flat.dtype))
+    Dq = -(-nrows_part // L)
+    D2R = -(-Dq // L)
+    out = []
+    for i, (S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1) in enumerate(
+            inst_meta):
+        src2d = partials_flat[a0 * L: a1 * L].reshape(S1c, L)
+        A0 = (src2d if S1p == S1c
+              else jnp.pad(src2d, ((0, S1p - S1c), (0, 0))))
+        A1 = _build_lane_gather(S1p, 1, dt)(
+            A0, jnp.asarray(arrays[f"g1_{i}"])[None])
+        A1T = A1.T.reshape(L, A2R, L)
+        e1 = _build_k2(A2R, W2, D2R, dt)(
+            A1T, arrays[f"g2a_{i}"], arrays[f"g2b_{i}"],
+            arrays[f"g2c_{i}"])
+        out.append((e1, arrays[f"g3_{i}"], K))
+    return out
+
+
+def k3_combine(e1_g3, dia_pack, x, nrows_part: int, ncols: int):
+    """One K3 over every routed instance + every DIA table: y written
+    once.  ``e1_g3``: list of (e1 (L, D2R, L), g3 (D2R, K, L, L), K).
+    More than MAX_INSTANCES instances split into several K3 calls (the
+    first carries the DIA tables)."""
+    if len(e1_g3) > MAX_INSTANCES:
+        head = k3_combine(e1_g3[:MAX_INSTANCES], dia_pack, x,
+                          nrows_part, ncols)
+        tail = k3_combine(e1_g3[MAX_INSTANCES:],
+                          ((), None, (), None), x, nrows_part, ncols)
+        return head + tail
     dia_offsets, dv, anti_offsets, adv = dia_pack
+    dt = str(np.dtype(x.dtype))
+    Dq = -(-nrows_part // L)
+    D2R = -(-Dq // L)
+
     xb, nb_x = _to_blocks(x) if dia_offsets else (None, 1)
     if anti_offsets:
         # anti offset s reads x[s - r] = xr[r + o'] with o' = ncols-1-s:
@@ -518,12 +616,12 @@ def fused_delta_dia_apply(meta, arrays, dia_pack, x,
     else:
         xrb, nb_xr = None, 1
         anti_rebased = ()
-    inst_ks = tuple(m[5] for m in inst)
+    inst_ks = tuple(K for _, _, K in e1_g3)
     call = _build_k3(D2R, inst_ks, dia_offsets, anti_rebased,
                      nb_x, nb_xr, dt)
     ops = []
-    for i in range(len(inst)):
-        ops.extend([e1s[i].reshape(L, D2R * L), arrays[f"g3_{i}"]])
+    for e1, g3, _K in e1_g3:
+        ops.extend([e1.reshape(L, D2R * L), g3])
     if dia_offsets:
         ops.append(dv)
         ops.extend([xb] * (2 * len({o // TILE3 for o in dia_offsets})))
@@ -534,6 +632,22 @@ def fused_delta_dia_apply(meta, arrays, dia_pack, x,
     acc = y3.reshape(-1)
     if acc.shape[0] != nrows_part:
         acc = acc[:nrows_part]
+    return acc
+
+
+def fused_delta_dia_apply(meta, arrays, dia_pack, x,
+                          nrows_part: int, ncols: int):
+    """Traced fused pipeline: returns the dense (nrows_part,) partial
+    covering the paged delta elements AND every DIA table.
+
+    ``dia_pack`` is the result of :func:`pad_dias_for_k3` with its dv
+    grids replaced by device arrays (executor caches them).
+    """
+    import jax.numpy as jnp
+
+    T, q, npages, inst, n_res, n_left = meta
+    e1_g3 = fused_delta_e1s(meta, arrays, x, ncols, nrows_part)
+    acc = k3_combine(e1_g3, dia_pack, x, nrows_part, ncols)
 
     # --- residual + unpageable spill (XLA, tiny) ---
     if n_res:

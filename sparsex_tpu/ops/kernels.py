@@ -292,28 +292,38 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
             if dvals is not None:
                 acc = acc + dvals * x_own
 
-    # meta[5:] holds tagged extras: ("dfused", fmeta, dia_offs, anti_offs)
-    # for the fused delta+DIA pipeline (ops/fused.py); ("dpages", T, q,
-    # npages) for the legacy paged delta, ("dpagesT", ...) for the
-    # symmetric transposed one.  One padded x2 page-form is shared by
-    # every legacy paged consumer.
+    # meta[5:] holds tagged extras: ("dfused", fmeta) for the fused delta
+    # pipeline, ("k3dias", dia_offs, anti_offs) when the DIA tables ride
+    # the shared K3, ("dpages", T, q, npages) for the legacy paged delta,
+    # ("dpagesT", ...) for the symmetric transposed one.  One padded x2
+    # page-form is shared by every legacy paged consumer.
     extras = {e[0]: e[1:] for e in meta[5:] if e}
 
-    # --- fused delta + DIA: three kernels, y written once ---
+    # --- fused pipeline: every routed contribution (delta elements, run
+    # partials, block rows) lands in ONE shared K3 with the DIA tables —
+    # y is written exactly once (ops/fused.py).  Segments queue their
+    # (e1, g3) pairs here; residual XLA adds are deferred past the K3.
     dfused = extras.get("dfused")
+    k3dias = extras.get("k3dias")
+    k3_pending = []
+    k3_post = []
     if dfused is not None:
         # the executor builds this variant only for 1-D non-symmetric
         # dispatch (SpMM reaches it through the per-column lax.map)
         assert not mm and not symmetric, "fused pipeline is 1-D only"
-        from sparsex_tpu.ops.fused import fused_delta_dia_apply
-        fmeta, dia_offs, anti_offs = dfused
-        pack = (dia_offs, arrs.get("dias_fused_dv"), anti_offs,
-                arrs.get("dias_fused_adv"))
-        acc = acc + fused_delta_dia_apply(fmeta, arrs["fused"], pack, x,
-                                          nrows_part, ncols)
+        from sparsex_tpu.ops.fused import fused_delta_e1s
+        fmeta = dfused[0]
+        far = arrs["fused"]
+        k3_pending += fused_delta_e1s(fmeta, far, x, ncols, nrows_part)
+        if fmeta[4]:   # over-capacity residuals: products from (col, val)
+            k3_post.append(("prod", far["res_vals"], far["res_cols"],
+                            far["res_dest"]))
+        if fmeta[5]:   # unpageable spill
+            k3_post.append(("prod", far["left_vals"], far["left_cols"],
+                            far["left_rows"]))
 
     # --- dense diagonals (elementwise, HBM-bound) ---
-    if dia_meta and dfused is None:
+    if dia_meta and k3dias is None:
         acc, z2 = dia_contrib(dia_meta, arrs["dias"], x, nrows_part,
                               row_start, acc,
                               z=z if symmetric else None,
@@ -416,11 +426,29 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
         return xg_page[: gidx.shape[0]]
 
     def _scatter_partials(acc, t, entry, partials):
-        """acc += scatter(partials): routed when a plan exists (entry[4]),
-        else the XLA scatter-add.  SpMM keeps the row scatter (the routing
-        network moves scalars; (row, k) slices amortize in XLA)."""
+        """acc += scatter(partials): through the shared K3 when the entry
+        carries a fused segment ("fs"), through the standalone routing
+        apply when it carries a legacy plan, else None (XLA scatter-add).
+        SpMM keeps the row scatter (the routing network moves scalars;
+        (row, k) slices amortize in XLA)."""
         scat = entry[4] if len(entry) > 4 else None
-        if mm or scat is None or "scatter" not in t:
+        if mm or scat is None:
+            return None
+        if scat[0] == "fs":
+            if "fscatter" not in t:
+                return None
+            from sparsex_tpu.ops.fused import partial_segment_e1s
+            _, inst_meta, has_res, m_pad = scat
+            flat = partials.reshape(-1)
+            if m_pad != flat.shape[0]:
+                flat = jnp.pad(flat, (0, m_pad - flat.shape[0]))
+            k3_pending.extend(partial_segment_e1s(
+                inst_meta, t["fscatter"], flat, nrows_part))
+            if has_res:
+                k3_post.append(("take", flat, t["fscatter"]["res_pos"],
+                                t["fscatter"]["res_dest"]))
+            return acc
+        if "scatter" not in t:
             return None
         from sparsex_tpu.ops.route import apply_scatter_plan
         smetas, has_res, m_pad = scat
@@ -502,5 +530,20 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
                     preferred_element_type=dtype).astype(dtype)
                 z = z.at[jnp.clip(cidx, 0, nrows_glob - 1).ravel()].add(
                     tcontrib.ravel(), mode="drop")
+
+    # --- the shared K3: all queued routed instances + DIA tables, one y
+    # write; deferred residual adds afterwards (tiny) ---
+    if k3_pending or k3dias is not None:
+        from sparsex_tpu.ops.fused import k3_combine
+        dia_offs, anti_offs = k3dias if k3dias is not None else ((), ())
+        pack = (dia_offs, arrs.get("dias_fused_dv"), anti_offs,
+                arrs.get("dias_fused_adv"))
+        acc = acc + k3_combine(k3_pending, pack, x, nrows_part, ncols)
+        for kind, a, b, c in k3_post:
+            if kind == "prod":
+                acc = acc.at[c].add(a * jnp.take(x, b, mode="clip"),
+                                    mode="drop")
+            else:
+                acc = acc.at[c].add(jnp.take(a, b), mode="drop")
 
     return acc, z
