@@ -163,7 +163,15 @@ def bench_workload(name, n, rows, cols, vals):
         f"runs={[(t.enc.name, t.delta, t.width, t.rows.size) for t in tables.runs]} "
         f"blocks={[(t.enc.name, t.br, t.bc, t.rows.size) for t in tables.blocks]}")
     extras = {e[0]: e[1:] for e in meta[5:] if e}
-    if "dpages" in extras:
+    if "dfused" in extras:
+        fm = extras["dfused"][0]
+        n_fs = sum(1 for e in meta[2] + meta[3]
+                   if len(e) > 4 and e[4] and e[4][0] == "fs")
+        log(f"[{name}] fused pipeline: delta T={fm[0]} q={fm[1]} "
+            f"K={[m[5] for m in fm[3]]} res={fm[4]} left={fm[5]}; "
+            f"{n_fs} unit-table segment(s) share the K3"
+            + ("; DIA rides K3" if "k3dias" in extras else ""))
+    elif "dpages" in extras:
         log(f"[{name}] delta-pages T={extras['dpages'][0]} "
             f"q={extras['dpages'][1]}"
             + (f"; route instances={len(extras['dscatter'][0])} "
@@ -236,6 +244,35 @@ def bench_spmm(name, n, rows, cols, vals, k=8):
     return nnz * k / per_iter
 
 
+def bench_spgemm(n=1 << 13, nnz_per_row=16):
+    """C = A*A on a random matrix; reports effective MFLOPS (2*flops/t).
+
+    SpGEMM's numeric phase is host/device mixed (ops/spgemm.py); this
+    keeps the north-star claim measurable (ref BASELINE north star)."""
+    import time as _t
+
+    from sparsex_tpu.ops.spgemm import spgemm_coo
+
+    rng = np.random.default_rng(11)
+    rows = np.repeat(np.arange(n), nnz_per_row)
+    cols = rng.integers(0, n, rows.size)
+    key = rows * n + cols
+    _, u = np.unique(key, return_index=True)
+    rows, cols = rows[u], cols[u]
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    # flops = 2 * sum over k of nnz_row(A, k) for each nonzero (i, k)
+    row_nnz = np.bincount(rows, minlength=n)
+    flops = 2 * int(row_nnz[cols].sum())
+    t0 = _t.perf_counter()
+    spgemm_coo(rows, cols, vals, rows, cols, vals, n, n, n)
+    dt = _t.perf_counter() - t0
+    log(f"[spgemm] {n}x{n} nnz={rows.size} -> {flops / 1e6:.1f} MFLOP "
+        f"in {dt:.2f}s = {flops / dt / 1e6:.1f} MFLOPS")
+    return flops / dt / 1e6
+
+
 def main():
     import jax
 
@@ -253,17 +290,20 @@ def main():
     blocky = bench_workload("blocky", N_BLOCKY, *build_blocky_matrix(N_BLOCKY))
     spmm_rate = bench_spmm("blocky", N_BLOCKY,
                            *build_blocky_matrix(N_BLOCKY), k=8)
+    spgemm_mflops = bench_spgemm()
 
     bw = measure_hbm_bw()
-    sol = head["ideal_bytes"] / bw
-    hbm_sol_nnz = head["nnz"] / sol
-    frac = head["nnz_per_s"] / hbm_sol_nnz
+
+    def sol_frac(w):
+        return w["nnz_per_s"] / (w["nnz"] / (w["ideal_bytes"] / bw))
+
+    frac = sol_frac(head)
+    bfrac = sol_frac(blocky)
     log(f"measured HBM BW (triad): {bw / 1e9:.0f} GB/s")
     log(f"headline: {head['nnz_per_s'] / 1e9:.2f} Gnnz/s "
-        f"({head['mflops']:.0f} MFLOPS); HBM-only speed of light "
-        f"{hbm_sol_nnz / 1e9:.2f} Gnnz/s -> {100 * frac:.1f}% of SoL")
+        f"({head['mflops']:.0f} MFLOPS) -> {100 * frac:.1f}% of HBM SoL")
     log(f"blocky:   {blocky['nnz_per_s'] / 1e9:.2f} Gnnz/s "
-        f"({blocky['mflops']:.0f} MFLOPS)")
+        f"({blocky['mflops']:.0f} MFLOPS) -> {100 * bfrac:.1f}% of its SoL")
 
     print(json.dumps({
         "metric": "csx_spmv_nnz_per_s",
@@ -278,7 +318,9 @@ def main():
             "blocky_nnz_per_s": blocky["nnz_per_s"],
             "blocky_us_per_spmv": blocky["us_per_spmv"],
             "blocky_pt_s": blocky["pt_s"],
+            "blocky_hbm_sol_frac": bfrac,
             "spmm_k8_nnzk_per_s": spmm_rate,
+            "spgemm_mflops": spgemm_mflops,
             "hbm_bw_gbps": bw / 1e9,
         },
     }))

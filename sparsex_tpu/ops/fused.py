@@ -38,7 +38,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from sparsex_tpu.ops import route
-from sparsex_tpu.ops.pallas_kernels import (DELTA_TILE, PAGE,
+from sparsex_tpu.ops.pallas_kernels import (DELTA_TILE, MAX_Q, PAGE,
                                             build_delta_pages)
 
 L = 128
@@ -51,14 +51,94 @@ MIN_FUSED_NNZ = 1 << 15    # below this the XLA delta path is cheaper
 # Plan construction (host side)
 # ---------------------------------------------------------------------------
 
+def _lane_place_layout(cols, rows, vals, fold, ncols: int,
+                       nrows_part: int):
+    """Lane-placed delta layout: each element sits at the LANE equal to
+    its column's low 7 bits, so K1's x gather collapses to one sublane
+    gather (``take_along_axis(page, sub, axis=0)``) per page — ~8x less
+    VPU work than the lane-shuffle search over sub-rows (measured: the
+    product kernel is compute-bound, not bandwidth-bound).
+
+    Placement: within each (fold, lane) class, elements rank by column;
+    rank%8 is the sub-row and rank//8 the group-local tile.  Random
+    columns fill tiles to ~98%; pathological lane skew (fill < 62%)
+    returns None and the caller falls back to the dense-tile layout.
+
+    Returns (plo, low, vals3, dest, tile_group, q, npages, leftover_sel,
+    cols_at_pos) — ``low`` is the packed page*8+row index (< 64).
+    """
+    m = cols.size
+    npages = -(-ncols // PAGE)
+    lane = cols & (L - 1)
+    order = np.lexsort((cols, lane, fold))
+    f_s, l_s, c_s = fold[order], lane[order], cols[order]
+    new_cls = np.empty(m, dtype=bool)
+    new_cls[0] = True
+    np.logical_or(f_s[1:] != f_s[:-1], l_s[1:] != l_s[:-1],
+                  out=new_cls[1:])
+    starts = np.flatnonzero(new_cls)
+    ci = np.cumsum(new_cls) - 1
+    pos_in_cls = np.arange(m, dtype=np.int64) - starts[ci]
+    sub_row = pos_in_cls % 8
+    tile_in_grp = pos_in_cls // 8
+    # tiles per fold group = max over its lane classes
+    n_fold = int(f_s[-1]) + 1
+    tiles_per_grp = np.zeros(n_fold, dtype=np.int64)
+    np.maximum.at(tiles_per_grp, f_s, tile_in_grp + 1)
+    T_all = int(tiles_per_grp.sum())
+    if T_all * DELTA_TILE > m * 8 // 5:      # fill < ~62%: lane skew
+        return None
+    grp_base = np.concatenate([[0], np.cumsum(tiles_per_grp)[:-1]])
+    tile = grp_base[f_s] + tile_in_grp
+
+    # per-tile page span
+    pages = c_s // PAGE
+    pmin = np.full(T_all, np.iinfo(np.int64).max, dtype=np.int64)
+    pmax = np.full(T_all, -1, dtype=np.int64)
+    np.minimum.at(pmin, tile, pages)
+    np.maximum.at(pmax, tile, pages)
+    keepm = (pmax - pmin + 1) <= MAX_Q
+    keep_el = keepm[tile]
+    kept = np.flatnonzero(keep_el)
+    if kept.size < max(m // 2, 1):
+        return None
+    leftover_sel = order[~keep_el]
+
+    kt = np.flatnonzero(keepm)
+    T = kt.size
+    q = int((pmax[kt] - pmin[kt] + 1).max())
+    newt_of = np.cumsum(keepm) - 1
+    plo = np.minimum(pmin[kt], max(0, npages - q)).astype(np.int32)
+    # group label per kept tile (tiles are fold-pure by construction)
+    tg = np.zeros(T, dtype=np.int64)
+    tg[newt_of[tile[kept]]] = f_s[kept]
+
+    ti = newt_of[tile[kept]]
+    sr = sub_row[kept]
+    la = l_s[kept]
+    low = np.zeros((T, 8, L), dtype=np.int32)
+    vals3 = np.zeros((T, 8, L), dtype=vals.dtype)
+    dest = np.full((T, 8, L), nrows_part, dtype=np.int64)
+    cols_at_pos = np.zeros((T, 8, L), dtype=np.int64)
+    off = c_s[kept] - plo[ti].astype(np.int64) * PAGE
+    low[ti, sr, la] = off // L                # page*8 + source row, < 64
+    vals3[ti, sr, la] = vals[order[kept]]
+    dest[ti, sr, la] = rows[order[kept]]
+    cols_at_pos[ti, sr, la] = c_s[kept]
+    return (plo, low, vals3, dest.reshape(-1), tg, q, int(npages),
+            leftover_sel, cols_at_pos.reshape(-1))
+
+
 def build_fused_delta(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
                       ncols: int, nrows_part: int, max_k: int = 8):
     """Plan the fused pipeline for one partition's delta singles.
 
     Returns ``(meta, arrays)`` or ``(None, None)``.  ``meta`` is the
-    static trace signature ``(T, q, npages, inst, n_res, n_left)`` where
-    ``inst`` is a tuple of per-instance ``(S1c, S1p, A2R, D2R, Dp, K, W2,
-    a0, a1)`` route metas; ``arrays`` holds the device streams:
+    static trace signature ``(T, q, npages, inst, n_res, n_left, style)``
+    where ``inst`` is a tuple of per-instance ``(S1c, S1p, A2R, D2R, Dp,
+    K, W2, a0, a1)`` route metas and ``style`` selects the K1 gather
+    ("lp" lane-placed sublane gather, "sl" dense-tile lane shuffle);
+    ``arrays`` holds the device streams:
 
     - ``plo`` (T,) i32, ``mg`` (T,8,128) i32 (packed window offset + G1
       wire, :func:`pack_k1_meta`), ``vals`` (T,8,128) f32 — K1 inputs;
@@ -80,14 +160,30 @@ def build_fused_delta(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
     # fold per element (dest-page rank // 128), computed pre-spill; the
     # (fold, col) sort makes folds contiguous AND col-local within a fold
     fold = route._rank_within(rows // L) // L
-    key = fold * (cols.max() + 2) + cols
-    rep, leftover = build_delta_pages(
-        cols, rows, vals, ncols, nrows_part, sort_key=key, group_ids=fold)
-    if rep is None:
-        return None, None
-    T = rep["plo"].size
-    dest = np.asarray(rep["rows"], dtype=np.int64)   # sentinel-padded
-    tile_group = rep.pop("tile_group")
+    lp = _lane_place_layout(cols, rows, vals, fold, ncols, nrows_part)
+    if lp is not None:
+        (plo_arr, low, vals3, dest, tile_group, q_val, npages_val,
+         leftover, cols_at_pos) = lp
+        style = "lp"
+        T = plo_arr.size
+    else:
+        key = fold * (cols.max() + 2) + cols
+        rep, leftover = build_delta_pages(
+            cols, rows, vals, ncols, nrows_part, sort_key=key,
+            group_ids=fold)
+        if rep is None:
+            return None, None
+        style = "sl"
+        T = rep["plo"].size
+        plo_arr = rep["plo"]
+        low = rep["sl"].reshape(T, 8, L).astype(np.int32)
+        vals3 = rep["vals"].reshape(T, 8, L)
+        dest = np.asarray(rep["rows"], dtype=np.int64)
+        tile_group = rep.pop("tile_group")
+        q_val, npages_val = int(rep["q"]), int(rep["npages"])
+        tile_idx = np.arange(T * DELTA_TILE) // DELTA_TILE
+        cols_at_pos = (low.reshape(-1).astype(np.int64)
+                       + plo_arr[tile_idx].astype(np.int64) * PAGE)
 
     # tile-aligned chunk ranges: cut where the (pre-spill) fold group of
     # the tile changes, then at CHUNK_SRC_ROWS — every cut is a multiple
@@ -120,11 +216,22 @@ def build_fused_delta(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
         g1_all[a0:a1] = arrs_i["g1"][:S1c]
 
     D2R = metas[0][3]
+    # pad the K1 streams to a whole number of grouped grid steps (dummy
+    # tiles: g1 = -1 masks every lane, vals are zero)
+    T_pad = -(-T // K1_GT) * K1_GT
+    mg = pack_k1_meta(low, g1_all.reshape(T, 8, L))
+    plo_p, mg_p, vals_p = plo_arr, mg, vals3
+    if T_pad != T:
+        plo_p = np.concatenate([plo_arr,
+                                np.zeros(T_pad - T, dtype=np.int32)])
+        mg_p = np.concatenate([mg, np.zeros((T_pad - T, 8, L),
+                                            dtype=np.int32)])
+        vals_p = np.concatenate([vals3, np.zeros((T_pad - T, 8, L),
+                                                 dtype=vals3.dtype)])
     arrays: Dict[str, np.ndarray] = {
-        "plo": rep["plo"],
-        "mg": pack_k1_meta(rep["sl"].reshape(T, 8, L),
-                           g1_all.reshape(T, 8, L)),
-        "vals": rep["vals"],
+        "plo": plo_p,
+        "mg": mg_p,
+        "vals": vals_p,
     }
     inst_meta = []
     for i, (meta_i, arrs_i) in enumerate(zip(metas, arrs_list)):
@@ -146,16 +253,10 @@ def build_fused_delta(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
     # XLA from (col, val) — the fused kernels never materialize products
     if res_pos.size:
         flat_pos = res_pos.astype(np.int64)
-        tile_i = flat_pos // DELTA_TILE
-        lane_i = flat_pos % DELTA_TILE
-        sl_flat = rep["sl"].reshape(T, DELTA_TILE)
-        res_cols = (sl_flat[tile_i, lane_i].astype(np.int64)
-                    + rep["plo"][tile_i].astype(np.int64) * PAGE)
-        res_vals = rep["vals"].reshape(T, DELTA_TILE)[tile_i, lane_i]
-        arrays["res_cols"] = np.minimum(res_cols,
+        arrays["res_cols"] = np.minimum(cols_at_pos[flat_pos],
                                         ncols - 1).astype(np.int32)
         arrays["res_dest"] = res_dest.astype(np.int32)
-        arrays["res_vals"] = res_vals
+        arrays["res_vals"] = vals3.reshape(-1)[flat_pos]
     # unpageable spill -> standard XLA delta path (sorted by row)
     n_left = int(leftover.size)
     if n_left:
@@ -164,8 +265,8 @@ def build_fused_delta(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
         arrays["left_cols"] = cols[lo].astype(np.int32)
         arrays["left_vals"] = vals[lo]
 
-    meta = (T, int(rep["q"]), int(rep["npages"]), tuple(inst_meta),
-            int(res_pos.size), n_left)
+    meta = (T_pad, q_val, npages_val, tuple(inst_meta),
+            int(res_pos.size), n_left, style)
     return meta, arrays
 
 
@@ -211,57 +312,78 @@ def pack_k1_meta(sl: np.ndarray, g1: np.ndarray) -> np.ndarray:
         (g1.astype(np.int32) + 1) << 16)
 
 
+K1_GT = 8  # tiles per K1 grid step (amortizes per-step overhead)
+
+
 @functools.lru_cache(maxsize=64)
-def _build_k1(T: int, q: int, dtype_str: str):
+def _build_k1(T: int, q: int, style: str, dtype_str: str):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     dtype = jnp.dtype(dtype_str)
+    GT = K1_GT
+    assert T % GT == 0, "builder pads T to K1_GT"
 
     def kernel(plo_ref, mg_ref, val_ref, *page_refs_and_out):
-        page_refs = page_refs_and_out[:q]
-        out_ref = page_refs_and_out[q]
-        mg = mg_ref[0]
-        sl = jax.lax.bitwise_and(mg, jnp.int32(0x3FFF))
-        sub = jax.lax.shift_right_logical(sl, jnp.int32(7))
-        lane = jax.lax.bitwise_and(sl, jnp.int32(127))
-        total = jnp.zeros((8, L), dtype=dtype)
-        for j in range(q):
-            xpage = page_refs[j][0]
-            for k in range(8):
-                rowk = jax.lax.broadcast_in_dim(xpage[k, :], (8, L), (1,))
-                tk = jnp.take_along_axis(rowk, lane, axis=1)
-                total = total + jnp.where(sub == j * 8 + k, tk,
-                                          jnp.zeros((), dtype))
-        prod = total * val_ref[0]
-        g1 = jax.lax.shift_right_logical(mg, jnp.int32(16)) - 1
-        g = jnp.take_along_axis(prod, jnp.maximum(g1, 0), axis=1)
-        out_ref[0] = jnp.where(g1 >= 0, g, jnp.zeros((), dtype))
+        page_refs = page_refs_and_out[: GT * q]
+        out_ref = page_refs_and_out[GT * q]
+        for t in range(GT):
+            mg = mg_ref[t]
+            low = jax.lax.bitwise_and(mg, jnp.int32(0x3FFF))
+            total = jnp.zeros((8, L), dtype=dtype)
+            if style == "lp":
+                # lane-placed: elements sit at their x lane; one sublane
+                # gather resolves each page (q*3 VPU ops vs q*24)
+                pg = jax.lax.shift_right_logical(low, jnp.int32(3))
+                sr = jax.lax.bitwise_and(low, jnp.int32(7))
+                for j in range(q):
+                    C = jnp.take_along_axis(page_refs[t * q + j][0], sr,
+                                            axis=0)
+                    total = total + jnp.where(pg == j, C,
+                                              jnp.zeros((), dtype))
+            else:
+                sub = jax.lax.shift_right_logical(low, jnp.int32(7))
+                lane = jax.lax.bitwise_and(low, jnp.int32(127))
+                for j in range(q):
+                    xpage = page_refs[t * q + j][0]
+                    for k in range(8):
+                        rowk = jax.lax.broadcast_in_dim(
+                            xpage[k, :], (8, L), (1,))
+                        tk = jnp.take_along_axis(rowk, lane, axis=1)
+                        total = total + jnp.where(sub == j * 8 + k, tk,
+                                                  jnp.zeros((), dtype))
+            prod = total * val_ref[t]
+            g1 = jax.lax.shift_right_logical(mg, jnp.int32(16)) - 1
+            g = jnp.take_along_axis(prod, jnp.maximum(g1, 0), axis=1)
+            out_ref[t] = jnp.where(g1 >= 0, g, jnp.zeros((), dtype))
 
     tile_specs = [
-        pl.BlockSpec((1, 8, L), lambda i, m: (i, 0, 0),
-                     memory_space=pltpu.VMEM),   # mg (packed sl+g1)
-        pl.BlockSpec((1, 8, L), lambda i, m: (i, 0, 0),
+        pl.BlockSpec((GT, 8, L), lambda i, m: (i, 0, 0),
+                     memory_space=pltpu.VMEM),   # mg (packed low+g1)
+        pl.BlockSpec((GT, 8, L), lambda i, m: (i, 0, 0),
                      memory_space=pltpu.VMEM),   # vals
     ]
     page_specs = [pl.BlockSpec(
-        (1, 8, L), functools.partial(lambda i, m, j=j: (m[i] + j, 0, 0)),
-        memory_space=pltpu.VMEM) for j in range(q)]
+        (1, 8, L),
+        functools.partial(
+            lambda i, m, t=t, j=j: (m[i * GT + t] + j, 0, 0)),
+        memory_space=pltpu.VMEM) for t in range(GT) for j in range(q)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(T // GT,),
         in_specs=tile_specs + page_specs,
-        out_specs=pl.BlockSpec((1, 8, L), lambda i, m: (i, 0, 0),
+        out_specs=pl.BlockSpec((GT, 8, L), lambda i, m: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     call = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, 8, L), dtype))
+        out_shape=jax.ShapeDtypeStruct((T, 8, L), dtype),
+        name=f"k1_product_g1_{style}")
 
     def fn(plo, mg, vals, x2):
-        return call(plo, mg, vals, *([x2] * q))
+        return call(plo, mg, vals, *([x2] * (GT * q)))
 
     return fn
 
@@ -281,8 +403,16 @@ def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str):
 
     def mtake(x, idx_i8):
         idx = idx_i8.astype(jnp.int32)
+        r = x.shape[0]
+        if r < 8:
+            # Mosaic's lane gather needs >= one full (8, 128) tile;
+            # degenerate fold instances produce 1-row stages
+            x = jnp.concatenate([x, jnp.zeros((8 - r, L), dtype)], axis=0)
+            idx = jnp.concatenate(
+                [idx, jnp.full((8 - r, L), -1, jnp.int32)], axis=0)
         g = jnp.take_along_axis(x, jnp.maximum(idx, 0), axis=1)
-        return jnp.where(idx >= 0, g, jnp.zeros((), dtype))
+        out = jnp.where(idx >= 0, g, jnp.zeros((), dtype))
+        return out[:r] if r < 8 else out
 
     def padT(x):
         """(R, 128) -> transpose of the zero-padded (128, 128) square.
@@ -320,6 +450,7 @@ def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str):
         out_specs=pl.BlockSpec((GC, D2R, L), lambda c: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, D2R, L), dtype),
+        name="k2_middle",
     )
     return call
 
@@ -469,6 +600,7 @@ def _build_k3(D2R: int, inst_ks: Tuple[int, ...],
         out_specs=pl.BlockSpec((1, L, L), lambda i_: (i_, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((D2R, L, L), dtype_str),
+        name="k3_final",
     )
     return call
 
@@ -491,7 +623,8 @@ def fused_delta_e1s(meta, arrays, x, ncols: int, nrows_part: int):
     ``(e1, g3, K)`` list ready for :func:`k3_combine`."""
     import jax.numpy as jnp
 
-    T, q, npages, inst, n_res, n_left = meta
+    T, q, npages, inst, n_res, n_left = meta[:6]
+    style = meta[6] if len(meta) > 6 else "sl"
     dt = str(np.dtype(x.dtype))
     Dq = -(-nrows_part // L)
     D2R = -(-Dq // L)
@@ -503,8 +636,8 @@ def fused_delta_e1s(meta, arrays, x, ncols: int, nrows_part: int):
         x2 = jnp.zeros(npages_pad * PAGE,
                        dtype=x.dtype).at[:ncols].set(x).reshape(
             npages_pad, 8, L)
-    a1_3d = _build_k1(T, q, dt)(arrays["plo"], arrays["mg"],
-                                arrays["vals"], x2)
+    a1_3d = _build_k1(T, q, style, dt)(arrays["plo"], arrays["mg"],
+                                       arrays["vals"], x2)
     A1 = a1_3d.reshape(T * 8, L)
 
     out = []
@@ -645,7 +778,7 @@ def fused_delta_dia_apply(meta, arrays, dia_pack, x,
     """
     import jax.numpy as jnp
 
-    T, q, npages, inst, n_res, n_left = meta
+    T, q, npages, inst, n_res, n_left = meta[:6]
     e1_g3 = fused_delta_e1s(meta, arrays, x, ncols, nrows_part)
     acc = k3_combine(e1_g3, dia_pack, x, nrows_part, ncols)
 

@@ -77,7 +77,7 @@ def tables_to_arrays(tables: CsxTables) -> Dict[str, Any]:
 
 def _dia_contrib_static(meta_dias, dias, x, nrows_part: int, ncols: int,
                         acc, z=None, x_own=None, nrows_glob: int = 0,
-                        use_pallas: bool = False):
+                        use_pallas: bool = False, z_off: int = 0):
     """DIA contributions with trace-time-static offsets.
 
     Every diagonal becomes a statically-bounded fused multiply-add over its
@@ -146,10 +146,11 @@ def _dia_contrib_static(meta_dias, dias, x, nrows_part: int, ncols: int,
                 # is a static window of the padded product vector.
                 for k, o in enumerate(offsets):
                     prod = _bcast(dv[k]) * x_own
-                    z0 = max(0, o)
-                    z1 = min(nrows_glob, nrows_part + o)
+                    oz = o + z_off   # halo-sym: cols rebased, z global
+                    z0 = max(0, oz)
+                    z1 = min(nrows_glob, nrows_part + oz)
                     if z1 > z0:
-                        z = z.at[z0:z1].add(prod[z0 - o: z1 - o])
+                        z = z.at[z0:z1].add(prod[z0 - oz: z1 - oz])
         else:
             # anti-diagonal s = r + c: x[s - r] = reversed-x window.
             xr = x[::-1]  # xr[i] = x[ncols-1-i] (row-flip for SpMM)
@@ -167,18 +168,20 @@ def _dia_contrib_static(meta_dias, dias, x, nrows_part: int, ncols: int,
             if z is not None:
                 for k, s in enumerate(offsets):
                     prod = (_bcast(dv[k]) * x_own)[::-1]  # r -> nrows-1-r
-                    # z[s - r] += prod_rev[nrows-1-r]: window start s-nrows+1
-                    z0 = max(0, s - nrows_part + 1)
-                    z1 = min(nrows_glob, s + 1)
+                    sz = s + z_off
+                    # z[sz - r] += prod_rev[nrows-1-r]: start sz-nrows+1
+                    z0 = max(0, sz - nrows_part + 1)
+                    z1 = min(nrows_glob, sz + 1)
                     if z1 > z0:
-                        p0 = z0 - (s - nrows_part + 1)
+                        p0 = z0 - (sz - nrows_part + 1)
                         z = z.at[z0:z1].add(prod[p0: p0 + (z1 - z0)])
     return acc, z
 
 
 def dia_contrib(meta_dias, dias, x, nrows_part: int, row_start,
                 acc, z=None, x_own=None, nrows_glob: int = 0,
-                ncols: Optional[int] = None, use_pallas: bool = False):
+                ncols: Optional[int] = None, use_pallas: bool = False,
+                z_off: int = 0):
     """Dense-diagonal contributions (and transposed ones when symmetric).
 
     ``offsets`` are partition-local: DIAGONAL ``o = col - row_local`` (x
@@ -200,7 +203,7 @@ def dia_contrib(meta_dias, dias, x, nrows_part: int, row_start,
             meta_dias, dias, x, nrows_part,
             ncols if ncols is not None else x.shape[0],
             acc, z=z, x_own=x_own, nrows_glob=nrows_glob,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, z_off=z_off)
 
     pad = nrows_part
     xp = jnp.pad(x, (pad, pad))
@@ -222,11 +225,11 @@ def dia_contrib(meta_dias, dias, x, nrows_part: int, row_start,
                 win = jax.lax.dynamic_slice(xp, (o + pad,), (nrows_part,))
                 a = a + v * win
                 if zpl is not None:
-                    # transposed: z[r + o] += v[r] * x_own[r]
-                    zwin = jax.lax.dynamic_slice(zpl, (o + pad,),
+                    # transposed: z[r + o + z_off] += v[r] * x_own[r]
+                    zwin = jax.lax.dynamic_slice(zpl, (o + z_off + pad,),
                                                  (nrows_part,))
                     zpl = jax.lax.dynamic_update_slice(
-                        zpl, zwin + v * x_own, (o + pad,))
+                        zpl, zwin + v * x_own, (o + z_off + pad,))
                 return (a, zpl), ()
             (acc, zp), _ = jax.lax.scan(body, (acc, zp), (offs, dv))
         else:
@@ -238,8 +241,8 @@ def dia_contrib(meta_dias, dias, x, nrows_part: int, row_start,
                 win = jax.lax.dynamic_slice(xr, (start,), (nrows_part,))
                 a = a + v * win
                 if zrpl is not None:
-                    # transposed: z[s - r] += v[r] * x_own[r] (reversed)
-                    zstart = (Lz - 1 - pad) - s
+                    # transposed: z[s + z_off - r] += v[r]*x_own[r] (rev)
+                    zstart = (Lz - 1 - pad) - (s + z_off)
                     zwin = jax.lax.dynamic_slice(zrpl, (zstart,),
                                                  (nrows_part,))
                     zrpl = jax.lax.dynamic_update_slice(
@@ -256,7 +259,10 @@ def dia_contrib(meta_dias, dias, x, nrows_part: int, row_start,
 def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
                   row_start=0, symmetric: bool = False,
                   dvals=None, nrows_glob: Optional[int] = None,
-                  use_pallas: bool = False):
+                  use_pallas: bool = False, z_off: int = 0):
+    # ``z_off``: halo-symmetric rebasing — x-side coordinates (cols, DIA
+    # offsets) are in WINDOW coordinates while z destinations stay
+    # GLOBAL; every z index derived from a column adds z_off.
     """One partition's SpMV contribution.
 
     Returns ``(acc, z)``: ``acc`` dense over the partition's ``nrows_part``
@@ -328,7 +334,8 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
                               row_start, acc,
                               z=z if symmetric else None,
                               x_own=x_own, nrows_glob=nrows_glob or 0,
-                              ncols=ncols, use_pallas=use_pallas)
+                              ncols=ncols, use_pallas=use_pallas,
+                              z_off=z_off)
         if symmetric:
             z = z2
     page_sigs = [extras[k] for k in ("dpages", "dpagesT") if k in extras]
@@ -401,12 +408,14 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
             indices_are_sorted=True)
     dt = arrs.get("delta_t")
     if symmetric and dt is not None and dt["cols"].shape[0]:
-        # transposed leftovers: z[c] += v * x[r_glob]
+        # transposed leftovers: z[c] += v * x[r] (delta_t cols are ALWAYS
+        # global z coordinates by convention; row_ids are partition-local
+        # and row_start maps them into the current x frame)
         xg = _take_x(dt["row_ids"] + row_start)
         z = z.at[dt["cols"]].add(_vb(dt["vals"]) * xg, mode="drop")
     elif symmetric and dt is None and d is not None and d["cols"].shape[0]:
         xg = _take_x(d["row_ids"] + row_start)
-        z = z.at[d["cols"]].add(_vb(d["vals"]) * xg, mode="drop")
+        z = z.at[d["cols"] + z_off].add(_vb(d["vals"]) * xg, mode="drop")
 
     def _gather_units(t, entry, gidx, width):
         """(U, width[, k]) x values: paged-gather prefix + jnp.take tail
@@ -490,9 +499,10 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
         if symmetric:
             ridx_g = (t["rows"][:, None] + (sr * delta) * lane[None, :]
                       + row_start)
-            xgr = jnp.take(x, jnp.clip(ridx_g, 0, nrows_glob - 1), axis=0)
+            xgr = jnp.take(x, jnp.clip(ridx_g, 0, ncols - 1), axis=0)
             zc = _vb(t["vals"]) * xgr
-            z = z.at[jnp.clip(gidx, 0, nrows_glob - 1).ravel()].add(
+            z = z.at[jnp.clip(gidx + z_off, 0,
+                              nrows_glob - 1).ravel()].add(
                 zc.reshape(-1, kdim) if mm else zc.ravel(), mode="drop")
 
     # --- block tables: MXU einsum ---
@@ -516,19 +526,21 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
             acc = acc.at[jnp.clip(ridx, 0, nrows_part - 1).ravel()].add(
                 flat, mode="drop")
         if symmetric:
-            xgr = jnp.take(x, jnp.clip(ridx + row_start, 0, nrows_glob - 1),
+            xgr = jnp.take(x, jnp.clip(ridx + row_start, 0, ncols - 1),
                            axis=0)  # (U, br[, k])
             if mm:
                 tcontrib = jnp.einsum(
                     "urc,urk->uck", t["vals"], xgr,
                     preferred_element_type=dtype).astype(dtype)
-                z = z.at[jnp.clip(cidx, 0, nrows_glob - 1).ravel()].add(
+                z = z.at[jnp.clip(cidx + z_off, 0,
+                                  nrows_glob - 1).ravel()].add(
                     tcontrib.reshape(-1, kdim), mode="drop")
             else:
                 tcontrib = jnp.einsum(
                     "urc,ur->uc", t["vals"], xgr,
                     preferred_element_type=dtype).astype(dtype)
-                z = z.at[jnp.clip(cidx, 0, nrows_glob - 1).ravel()].add(
+                z = z.at[jnp.clip(cidx + z_off, 0,
+                                  nrows_glob - 1).ravel()].add(
                     tcontrib.ravel(), mode="drop")
 
     # --- the shared K3: all queued routed instances + DIA tables, one y

@@ -329,6 +329,7 @@ def _build_lane_gather(R: int, K: int, dtype_str: str):
         out_specs=pl.BlockSpec((BR, L), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, L), dtype),
+        name="lane_gather",
     )
 
 

@@ -104,9 +104,11 @@ def test_col_span_covers_all_tables():
     assert lo <= int(cols.min()) and hi >= int(cols.max()) + 1
 
 
-def test_forced_halo_on_symmetric_raises():
-    """x_mode=halo would silently drop D*x and L^T*x on symmetric matrices;
-    the constructor must reject the combination (code-review regression)."""
+def test_forced_halo_on_symmetric_correct():
+    """x_mode=halo on a symmetric matrix (supported since r3: window-
+    rebased tables, z_off global destinations) must include D*x and
+    L^T*x — the exact contributions the pre-r3 code would have dropped."""
+    from sparsex_tpu.ops.oracle import coo_spmv
     from sparsex_tpu.symmetric import build_symmetric_csx
     cfg = Config.instance()
     cfg.set("spx.tpu.x_mode", "halo")
@@ -116,8 +118,15 @@ def test_forced_halo_on_symmetric_raises():
     v = np.array([2.0, 1.0, 2.0, 2.0, 2.0])
     mat = build_symmetric_csx(4, 4, r, c, v, already_lower=True)
     mesh = Mesh(np.array(jax.devices()[:2]), ("shards",))
-    with pytest.raises(ValueError, match="halo"):
-        ShardedCsx(mat, mesh=mesh)
+    sh = ShardedCsx(mat, mesh=mesh)
+    assert sh.x_mode == "halo"
+    x = np.array([1.0, 2.0, 3.0, 4.0])
+    got = np.asarray(sh.matvec(x))
+    rows = np.concatenate([r, c[r != c]])
+    cols = np.concatenate([c, r[r != c]])
+    vals = np.concatenate([v, v[r != c]])
+    want = coo_spmv(4, rows, cols, vals, x)
+    assert max_rel_error(got, want) <= 1e-6
 
 
 def test_halo_paged_routed_interpret(monkeypatch):
@@ -200,3 +209,60 @@ def test_sharded_scatter_route_interpret(monkeypatch):
     ref = np.zeros(n, np.float32)
     np.add.at(ref, rows, vals * x[cols])
     assert max_rel_error(y, ref) < 1e-4  # f32 accumulation order
+
+
+def test_halo_symmetric_matches_replicated(monkeypatch):
+    """Symmetric halo mode (VERDICT r2 next-step #4): window-rebased
+    tables + z_off global destinations + psum_scatter reduction, checked
+    against the replicated output and the oracle."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    import sparsex_tpu.ops.pallas_kernels as pk
+    from sparsex_tpu.ops import route as route_mod
+    from sparsex_tpu.symmetric import build_symmetric_csx
+
+    monkeypatch.setattr(pk, "MIN_PAGE_NNZ", 64)
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    monkeypatch.setattr(route_mod, "MIN_ELEMS", 128)
+    cfg = Config.reset()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.rt.nr_threads", "4")
+    cfg.set("spx.preproc.xform", "all")
+
+    # banded symmetric: lower-triangle band + diagonal (halo-friendly)
+    n = 4096
+    rng = np.random.default_rng(5)
+    r = rng.integers(0, n, 5000)
+    off = rng.integers(0, 200, 5000)
+    rs = np.concatenate([r, np.arange(n)])
+    cs = np.concatenate([np.maximum(r - off, 0), np.arange(n)])
+    k = np.unique(rs * n + cs)
+    rs, cs = k // n, k % n
+    vs = rng.standard_normal(rs.size)
+    m = rs != cs
+    rows = np.concatenate([rs, cs[m]])
+    cols = np.concatenate([cs, rs[m]])
+    vals = np.concatenate([vs, vs[m]]).astype(np.float32)
+    o = np.lexsort((cols, rows))
+    rows, cols, vals = rows[o], cols[o], vals[o]
+
+    mat = build_symmetric_csx(n, n, rows, cols, vals)
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("shards",))
+    x = np.random.default_rng(6).standard_normal(n).astype(np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        cfg.set("spx.tpu.x_mode", "halo")
+        sh_halo = ShardedCsx(mat, mesh=mesh)
+        assert sh_halo.x_mode == "halo"
+        y_halo = np.asarray(sh_halo.matvec(jnp.asarray(x)))
+        cfg.set("spx.tpu.x_mode", "replicated")
+        y_rep = np.asarray(ShardedCsx(mat, mesh=mesh).matvec(
+            jnp.asarray(x)))
+
+    ref = np.zeros(n, np.float64)
+    np.add.at(ref, rows, vals.astype(np.float64) *
+              x.astype(np.float64)[cols])
+    assert max_rel_error(y_halo, ref) < 1e-4
+    assert max_rel_error(y_halo, y_rep) < 1e-4
