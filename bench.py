@@ -180,7 +180,8 @@ def bench_workload(name, n, rows, cols, vals):
 
     arrays = jax.device_put(arrays)
     spmv = _compiled(meta, "float32",
-                     _resolve_use_pallas(tables, routed=ex._routed()))
+                     _resolve_use_pallas(tables, routed=ex._routed()),
+                     apply_alpha=False, apply_beta=False)
     zeros = jnp.zeros(n, dtype=jnp.float32)
 
     def make(k):

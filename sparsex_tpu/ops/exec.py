@@ -29,11 +29,14 @@ _static_meta = static_meta
 
 
 @functools.lru_cache(maxsize=128)
-def _compiled(meta: Tuple, dtype_str: str, use_pallas: bool = False):
+def _compiled(meta: Tuple, dtype_str: str, use_pallas: bool = False,
+              apply_alpha: bool = True, apply_beta: bool = True):
     """Build + jit the executor for one static table signature.
 
-    ``meta`` may carry a 6th element ``("dpages", T, q, npages)`` when the
-    delta table uses the page-bucketed Pallas layout.
+    ``meta`` may carry tagged extras past index 5 (fused pipeline, paged
+    delta, ...).  ``apply_alpha``/``apply_beta`` elide the epilogue when
+    the dispatcher knows alpha == 1 / beta == 0: the generic
+    ``alpha*acc + beta*y0`` costs three extra full HBM passes.
     """
     import jax
     import jax.numpy as jnp
@@ -43,7 +46,11 @@ def _compiled(meta: Tuple, dtype_str: str, use_pallas: bool = False):
     def fn(arrs, x, alpha, beta, y0):
         acc, _ = local_contrib(meta, arrs, x, nrows_part=nrows, ncols=ncols,
                                use_pallas=use_pallas)
-        return alpha * acc + beta * y0
+        if apply_alpha:
+            acc = alpha * acc
+        if apply_beta:
+            acc = acc + beta * y0
+        return acc
 
     return jax.jit(fn)
 
@@ -451,10 +458,17 @@ class CsxExecutor:
         if arrays is None:
             arrays = self._device(False)
         shape = meta[0] if x.ndim == 1 else (meta[0], x.shape[1])
+        # dispatch-time epilogue elision: alpha/beta arrive as Python
+        # scalars on the hot API path
+        apply_alpha = not (isinstance(alpha, (int, float))
+                           and float(alpha) == 1.0)
+        apply_beta = not (y is None or (isinstance(beta, (int, float))
+                                        and float(beta) == 0.0))
         y0 = (jnp.zeros(shape, dtype=x.dtype)
               if y is None else jnp.asarray(y))
         fn = _compiled(meta, self._dtype,
                        _resolve_use_pallas(self.tables,
                                            routed=(meta is not self.meta
-                                                   and self._routed())))
+                                                   and self._routed())),
+                       apply_alpha=apply_alpha, apply_beta=apply_beta)
         return fn(arrays, x, x.dtype.type(alpha), x.dtype.type(beta), y0)

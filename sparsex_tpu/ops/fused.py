@@ -481,16 +481,21 @@ def _build_k3(D2R: int, inst_ks: Tuple[int, ...],
     I = len(inst_ks)
 
     def _groups(offsets):
-        """Group offsets by x-block quotient; shift = offset mod TILE3."""
-        qs = sorted({o // TILE3 for o in offsets})
-        qidx = {qv: i for i, qv in enumerate(qs)}
-        return qs, [qidx[o // TILE3] for o in offsets], \
+        """Per offset: x-block quotient and in-window shift; the kernel
+        reads the UNION block range [qmin, qmax+1] once (consecutive
+        quotients share blocks — reading (lo, hi) pairs per group would
+        re-fetch the overlapping middle blocks)."""
+        if not offsets:
+            return 0, 1, [], []
+        qs = [o // TILE3 for o in offsets]
+        qmin, qmax = min(qs), max(qs)
+        return qmin, qmax - qmin + 2, [q - qmin for q in qs], \
             [o % TILE3 for o in offsets]
 
     # anti_offsets arrive REBASED to the reversed-x frame (o' = ncols-1-s:
     # x[s-r] = xr[r + o']), so both sides share the window machinery
-    d_qs, d_grp, d_shift = _groups(dia_offsets)
-    a_qs, a_grp, a_shift = _groups(anti_offsets)
+    d_qmin, d_nb, d_grp, d_shift = _groups(dia_offsets)
+    a_qmin, a_nb, a_grp, a_shift = _groups(anti_offsets)
 
     def _window(lo, hi, shift):
         """16384-element window at static flat ``shift`` over two
@@ -517,12 +522,10 @@ def _build_k3(D2R: int, inst_ks: Tuple[int, ...],
             e1s.append(refs[p]); g3s.append(refs[p + 1]); p += 2
         if dia_offsets:
             dv_ref = refs[p]; p += 1
-            xlo = refs[p: p + len(d_qs)]; p += len(d_qs)
-            xhi = refs[p: p + len(d_qs)]; p += len(d_qs)
+            xb = refs[p: p + d_nb]; p += d_nb
         if anti_offsets:
             adv_ref = refs[p]; p += 1
-            xrlo = refs[p: p + len(a_qs)]; p += len(a_qs)
-            xrhi = refs[p: p + len(a_qs)]; p += len(a_qs)
+            xrb = refs[p: p + a_nb]; p += a_nb
         out_ref = refs[p]
 
         total = jnp.zeros((L, L), dtype=dtype)
@@ -537,12 +540,13 @@ def _build_k3(D2R: int, inst_ks: Tuple[int, ...],
         # --- DIA diagonals: dv * shifted x windows ---
         if dia_offsets:
             for k in range(len(dia_offsets)):
-                w = _window(xlo[d_grp[k]][0], xhi[d_grp[k]][0], d_shift[k])
+                g = d_grp[k]
+                w = _window(xb[g][0], xb[g + 1][0], d_shift[k])
                 total = total + dv_ref[0, k] * w
         if anti_offsets:
             for k in range(len(anti_offsets)):
-                w = _window(xrlo[a_grp[k]][0], xrhi[a_grp[k]][0],
-                            a_shift[k])
+                g = a_grp[k]
+                w = _window(xrb[g][0], xrb[g + 1][0], a_shift[k])
                 total = total + adv_ref[0, k] * w
         out_ref[0] = total
 
@@ -560,37 +564,23 @@ def _build_k3(D2R: int, inst_ks: Tuple[int, ...],
         in_specs.append(pl.BlockSpec(
             (1, len(dia_offsets), L, L), lambda i_: (i_, 0, 0, 0),
             memory_space=pltpu.VMEM))
-        for qv in d_qs:
+        for j in range(d_nb):
             in_specs.append(pl.BlockSpec(
                 (1, L, L),
                 functools.partial(
-                    lambda i_, qv=qv: (
+                    lambda i_, qv=d_qmin + j: (
                         jnp.clip(i_ + qv, 0, nb_x - 1), 0, 0)),
-                memory_space=pltpu.VMEM))
-        for qv in d_qs:
-            in_specs.append(pl.BlockSpec(
-                (1, L, L),
-                functools.partial(
-                    lambda i_, qv=qv: (
-                        jnp.clip(i_ + qv + 1, 0, nb_x - 1), 0, 0)),
                 memory_space=pltpu.VMEM))
     if anti_offsets:
         in_specs.append(pl.BlockSpec(
             (1, len(anti_offsets), L, L), lambda i_: (i_, 0, 0, 0),
             memory_space=pltpu.VMEM))
-        for qv in a_qs:
+        for j in range(a_nb):
             in_specs.append(pl.BlockSpec(
                 (1, L, L),
                 functools.partial(
-                    lambda i_, qv=qv: (
+                    lambda i_, qv=a_qmin + j: (
                         jnp.clip(i_ + qv, 0, nb_xr - 1), 0, 0)),
-                memory_space=pltpu.VMEM))
-        for qv in a_qs:
-            in_specs.append(pl.BlockSpec(
-                (1, L, L),
-                functools.partial(
-                    lambda i_, qv=qv: (
-                        jnp.clip(i_ + qv + 1, 0, nb_xr - 1), 0, 0)),
                 memory_space=pltpu.VMEM))
 
     call = pl.pallas_call(
@@ -668,7 +658,19 @@ def plan_partial_segment(dest_flat: np.ndarray, n_dest: int,
     if M_pad != M:
         dest_flat = np.concatenate(
             [dest_flat, np.full(M_pad - M, -1, dtype=np.int64)])
-    plan = route.build_scatter_plan(dest_flat, n_dest, max_k=max_k)
+    # Partial streams are NOT fold-sorted (unit order serves the x-page
+    # gather), so capacity folds would fragment into many tiny kernel
+    # chains (measured: 7 instances on the blocky block table cost more
+    # than they saved).  One fold + whole-stream chunks; the small
+    # over-capacity tail rides the XLA residual scatter.
+    plan = route.build_scatter_plan(dest_flat, n_dest, max_k=max_k,
+                                    uniform_chunks=True, max_folds=1,
+                                    max_res_frac=0.1)
+    if plan is None:
+        # heavy multiplicity: accept the fold fragments rather than the
+        # serialized XLA scatter for the whole stream
+        plan = route.build_scatter_plan(dest_flat, n_dest, max_k=max_k,
+                                        uniform_chunks=True)
     if plan is None:
         return None
     metas, arrs_list, res_pos, res_dest = plan
@@ -756,11 +758,13 @@ def k3_combine(e1_g3, dia_pack, x, nrows_part: int, ncols: int):
     for e1, g3, _K in e1_g3:
         ops.extend([e1.reshape(L, D2R * L), g3])
     if dia_offsets:
+        qs = [o // TILE3 for o in dia_offsets]
         ops.append(dv)
-        ops.extend([xb] * (2 * len({o // TILE3 for o in dia_offsets})))
+        ops.extend([xb] * (max(qs) - min(qs) + 2))
     if anti_rebased:
+        qs = [o // TILE3 for o in anti_rebased]
         ops.append(adv)
-        ops.extend([xrb] * (2 * len({o // TILE3 for o in anti_rebased})))
+        ops.extend([xrb] * (max(qs) - min(qs) + 2))
     y3 = call(*ops)
     acc = y3.reshape(-1)
     if acc.shape[0] != nrows_part:

@@ -105,7 +105,8 @@ def _chunk_ranges(dest: np.ndarray, n_dest: int, S1_total: int):
 def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
                        min_elems: int = None,
                        uniform_chunks: bool = False,
-                       ranges=None):
+                       ranges=None, max_folds: int = None,
+                       max_res_frac: float = 0.25):
     """Plan the routing network for ``out[d] += src[e]`` over all e with
     ``dest[e] == d``.
 
@@ -127,6 +128,8 @@ def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
 
     if min_elems is None:
         min_elems = MIN_ELEMS
+    if max_folds is None:
+        max_folds = MAX_FOLDS
     dest = np.asarray(dest)
     M = dest.size
     if M % L or n_dest <= 0:
@@ -163,13 +166,13 @@ def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
         pages = dv // L
 
         fold = _rank_within(pages) // L
-        res = fold >= MAX_FOLDS
+        res = fold >= max_folds
         S1c = a1 - a0
         S1p = _ceil_to(S1c, L)
         A2R = S1p // L
 
         for f in range(int(fold.max()) + 1 if fold.size else 0):
-            if f >= MAX_FOLDS:
+            if f >= max_folds:
                 break
             sel = np.flatnonzero(fold == f)
             pos = pos0[sel]
@@ -232,7 +235,7 @@ def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
 
     res_pos = (np.concatenate(res_pos_all) if res_pos_all
                else np.zeros(0, dtype=np.int64))
-    if res_pos.size > n_valid // 4:
+    if res_pos.size > n_valid * max_res_frac:
         # too much residual: the plan would not pay off.  Say so — the
         # caller falls back to the serialized XLA scatter (~17x slower
         # per element), which must never happen silently.
@@ -241,7 +244,7 @@ def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
             "scatter-route plan rejected: %d of %d elements exceed "
             "network capacity (folds>%d or k>%d); falling back to the "
             "serialized XLA scatter for this table",
-            res_pos.size, n_valid, MAX_FOLDS, max_k)
+            res_pos.size, n_valid, max_folds, max_k)
         return None
     res_dest = dest[res_pos].astype(np.int32)
     return tuple(metas), arrays, res_pos.astype(np.int32), res_dest

@@ -240,7 +240,7 @@ class Encoder:
             self.run_tables.extend(pack_run_units(
                 t, ru.delta, hr, hc, ru.sizes, padded,
                 value_dtype=self.cfg.value_dtype,
-                index_dtype=self.cfg.index_dtype))
+                index_dtype=self.eff_index_dtype))
         # Remaining elements: inverse-transform the mined (already sorted)
         # coordinates at the kept positions — avoids two full-size random
         # permutes (the dominant pt cost on large matrices; the reference
@@ -307,8 +307,8 @@ class Encoder:
             hr, hc = from_xform(t, htr, htc, self.nrows, self.ncols)
             self.block_tables.append(BlockTable(
                 enc=t,
-                rows=hr.astype(self.cfg.index_dtype),
-                cols=hc.astype(self.cfg.index_dtype),
+                rows=hr.astype(self.eff_index_dtype),
+                cols=hc.astype(self.eff_index_dtype),
                 vals=v3.astype(self.cfg.value_dtype),
             ))
             diff = np.zeros(m + 1, dtype=np.int64)
@@ -418,10 +418,22 @@ class Encoder:
                  ",".join(self.encoding_log) or "none")
 
     # ------------------------------------------------------------------
+    @property
+    def eff_index_dtype(self):
+        """Narrowed index dtype: int16 when every coordinate of this
+        partition fits (ref ``GetDeltaSize`` picks 8/16/32-bit deltas,
+        ``CsxManager.hpp:635-682``); the user's int64 choice is honored.
+        """
+        idt = self.cfg.index_dtype
+        if (idt == np.dtype(np.int32)
+                and max(self.nrows, self.ncols) < (1 << 15)):
+            return np.dtype(np.int16)
+        return idt
+
     def finalize(self, row_start: int = 0) -> CsxTables:
         """Package leftovers as the delta (CSR) table and emit CsxTables."""
         self._resort()  # back to row-major for the CSR delta table
-        idt = self.cfg.index_dtype
+        idt = self.eff_index_dtype
         rowptr = np.zeros(self.nrows + 1, dtype=np.int64)
         np.add.at(rowptr, self.rows + 1, 1)
         rowptr = np.cumsum(rowptr)

@@ -94,3 +94,33 @@ def test_duplicate_get_entry_not_found():
         mat.get_entry(1, 1)
     with pytest.raises(spx.SparsexError):
         mat.get_entry(9, 0)
+
+
+def test_index_width_narrowing():
+    """Partitions whose coordinates fit int16 store int16 indices
+    (VERDICT r2 #7; ref GetDeltaSize CsxManager.hpp:635-682)."""
+    import numpy as np
+
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+    from sparsex_tpu.ops.oracle import coo_spmv, max_rel_error
+
+    cfg = Config.instance()
+    cfg.set("spx.preproc.xform", "all")
+    rng = np.random.default_rng(0)
+    n = 2000
+    rows = rng.integers(0, n, 4000)
+    cols = rng.integers(0, n, 4000)
+    k = np.unique(rows * n + cols)
+    rows, cols = k // n, k % n
+    vals = rng.standard_normal(rows.size)
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    t = mat.shards[0]
+    if t.delta is not None and t.delta.nnz:
+        assert t.delta.cols.dtype == np.int16
+    for rt in t.runs:
+        assert rt.cols.dtype == np.int16
+    x = rng.standard_normal(n)
+    got = np.asarray(mat.mult(x))
+    want = coo_spmv(n, rows, cols, vals, x)
+    assert max_rel_error(got, want) <= 1e-6
