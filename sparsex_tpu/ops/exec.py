@@ -277,6 +277,27 @@ class CsxExecutor:
         for (enc_i, delta, width), t in zip(self.meta[2], arrays["runs"]):
             from sparsex_tpu.preprocess.encodings import EncType
             sr, sc = run_step(EncType(enc_i))
+            # horizontal runs whose width divides 128: the fully fused
+            # kernel (gather + FMA + sliding-sum + G1 -> shared K3)
+            if sr == 0 and width >= 2 and 128 % width == 0:
+                from sparsex_tpu.ops.fused import build_fused_run
+                cols_u = np.asarray(t["cols"], dtype=np.int64)
+                rows_u = np.asarray(t["rows"], dtype=np.int64)
+                fmeta_r, farr_r, order_r, n_page_r = build_fused_run(
+                    cols_u, rows_u, np.asarray(t["vals"]), ncols,
+                    self.tables.nrows, width, step=sc * delta)
+                if fmeta_r is not None:
+                    tail = order_r[n_page_r:]
+                    run_meta.append((enc_i, delta, width, None, None,
+                                     ("frun", fmeta_r, tail.size)))
+                    run_arrays.append({
+                        "frun": farr_r,
+                        "tail_rows": rows_u[tail].astype(np.int32),
+                        "tail_cols": cols_u[tail].astype(np.int32),
+                        "tail_vals": np.asarray(t["vals"])[tail],
+                    })
+                    changed = True
+                    continue
             plan_entry, entry_arrays = None, t
             if sc != 0 and width >= 2:
                 lane = np.arange(width, dtype=np.int64)

@@ -270,6 +270,138 @@ def build_fused_delta(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
     return meta, arrays
 
 
+def build_fused_run(cols_u: np.ndarray, rows_u: np.ndarray,
+                    vals2d: np.ndarray, ncols: int, nrows_part: int,
+                    W: int, step: int = 1, max_k: int = 8):
+    """Plan the fused horizontal-run pipeline: ONE kernel gathers the
+    unit x windows, multiplies by the (zero-padded) values, reduces each
+    unit with a width-W sliding lane sum and routes the unit totals
+    through G1 — the separate paged_gather + XLA FMA + lane-gather chain
+    (measured 335us on the blocky run table) collapses into K1-style
+    grouped tiles feeding the shared K2/K3.
+
+    ``cols_u``/``rows_u``: (U,) unit heads; ``vals2d``: (U, W) padded
+    values; ``step``: column stride between elements (delta).  Returns
+    ``(meta, arrays, order, n_page)`` or ``(None,) * 4``; ``meta`` =
+    (T_pad, q, npages, inst, n_res, style) with style "runW"; tail units
+    [n_page:] of the reordered table stay on the XLA path.
+    """
+    from sparsex_tpu.ops.pallas_kernels import build_unit_pages
+
+    U = cols_u.size
+    if W < 2 or 128 % W or U * W < MIN_FUSED_NNZ:
+        return None, None, None, 0
+    Dq = -(-nrows_part // L)
+    if -(-Dq // L) > L:
+        return None, None, None, 0
+    lanes = np.arange(W, dtype=np.int64) * step
+    flat = np.clip(cols_u[:, None].astype(np.int64) + lanes[None, :],
+                   0, ncols - 1).reshape(-1)
+    order, n_page, plan = build_unit_pages(flat, W, ncols,
+                                           min_elems=MIN_FUSED_NNZ)
+    if plan is None:
+        return None, None, None, 0
+    T = plan["T"]
+    g = plan["g"]
+    n_page = T * g
+    rows_o = rows_u[order].astype(np.int64)
+    dest = np.full(T * DELTA_TILE, nrows_part, dtype=np.int64)
+    ends = np.arange(n_page, dtype=np.int64) * W + (W - 1)
+    dest[ends] = rows_o[:n_page]
+    plan_sc = route.build_scatter_plan(dest, nrows_part, max_k=max_k,
+                                       uniform_chunks=True, max_folds=1,
+                                       max_res_frac=0.1)
+    if plan_sc is None:
+        plan_sc = route.build_scatter_plan(dest, nrows_part, max_k=max_k,
+                                           uniform_chunks=True)
+    if plan_sc is None:
+        return None, None, None, 0
+    metas, arrs_list, res_pos, res_dest = plan_sc
+    if len(metas) > MAX_INSTANCES:
+        return None, None, None, 0
+    S1_total = T * 8
+    g1_all = np.full((S1_total, L), -1, dtype=np.int8)
+    for meta_i, arrs_i in zip(metas, arrs_list):
+        S1c, a0, a1 = meta_i[0], meta_i[7], meta_i[8]
+        g1_all[a0:a1] = arrs_i["g1"][:S1c]
+
+    vals_grid = np.zeros((T, DELTA_TILE), dtype=vals2d.dtype)
+    vals_grid[:, : g * W] = vals2d[order[:n_page]].reshape(T, g * W)
+    T_pad = -(-T // K1_GT) * K1_GT
+    sl = plan["sl"].reshape(T, 8, L).astype(np.int32)
+    mg = pack_k1_meta(sl, g1_all.reshape(T, 8, L))
+    plo = plan["plo"]
+    if T_pad != T:
+        plo = np.concatenate([plo, np.zeros(T_pad - T, dtype=np.int32)])
+        mg = np.concatenate([mg, np.zeros((T_pad - T, 8, L),
+                                          dtype=np.int32)])
+        vals_grid = np.concatenate(
+            [vals_grid.reshape(T, 8, L),
+             np.zeros((T_pad - T, 8, L), dtype=vals_grid.dtype)])
+    arrays: Dict[str, np.ndarray] = {
+        "plo": plo,
+        "mg": mg,
+        "vals": vals_grid.reshape(T_pad, 8, L),
+    }
+    D2R = metas[0][3]
+    inst_meta = []
+    for i, (meta_i, arrs_i) in enumerate(zip(metas, arrs_list)):
+        S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1 = meta_i
+        if D2Ri != D2R:
+            return None, None, None, 0
+        arrays[f"g2a_{i}"] = arrs_i["g2a"].reshape(L, A2R, L)
+        arrays[f"g2b_{i}"] = arrs_i["g2b"].reshape(L, W2, L)
+        arrays[f"g2c_{i}"] = arrs_i["g2c"].reshape(L, D2R, L)
+        g3 = arrs_i["g3"]
+        g3p = np.full((g3.shape[0], D2R * L, L), -1, dtype=np.int8)
+        g3p[:, : g3.shape[1]] = g3
+        arrays[f"g3_{i}"] = np.ascontiguousarray(
+            g3p.reshape(g3.shape[0], D2R, L, L).transpose(1, 0, 2, 3))
+        inst_meta.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1))
+    if res_pos.size:
+        # residual partials are unit TOTALS; recompute in XLA from the
+        # unit head + values (pos = u*W + W-1)
+        u_res = (res_pos.astype(np.int64) - (W - 1)) // W
+        sel = order[u_res]
+        arrays["res_cols_u"] = cols_u[sel].astype(np.int32)
+        arrays["res_vals2d"] = vals2d[sel]
+        arrays["res_dest"] = res_dest.astype(np.int32)
+    meta = (T_pad, int(plan["q"]), int(plan["npages"]), tuple(inst_meta),
+            int(res_pos.size), f"run{W}")
+    return meta, arrays, order, n_page
+
+
+def fused_run_e1s(meta, arrays, x, ncols: int, nrows_part: int):
+    """K1(run style) + T1 + K2: (e1, g3, K) list for :func:`k3_combine`."""
+    import jax.numpy as jnp
+
+    T, q, npages, inst, n_res, style = meta
+    dt = str(np.dtype(x.dtype))
+    Dq = -(-nrows_part // L)
+    D2R = -(-Dq // L)
+    npages_pad = max(npages, q)
+    if npages_pad * PAGE == ncols:
+        x2 = x.reshape(npages_pad, 8, L)
+    else:
+        x2 = jnp.zeros(npages_pad * PAGE,
+                       dtype=x.dtype).at[:ncols].set(x).reshape(
+            npages_pad, 8, L)
+    a1_3d = _build_k1(T, q, style, dt)(arrays["plo"], arrays["mg"],
+                                       arrays["vals"], x2)
+    A1 = a1_3d.reshape(T * 8, L)
+    out = []
+    for i, (S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1) in enumerate(inst):
+        Ai = A1[a0:a1]
+        if S1p != S1c:
+            Ai = jnp.pad(Ai, ((0, S1p - S1c), (0, 0)))
+        A1T = Ai.T.reshape(L, A2R, L)
+        e1 = _build_k2(A2R, W2, D2R, dt)(
+            A1T, arrays[f"g2a_{i}"], arrays[f"g2b_{i}"],
+            arrays[f"g2c_{i}"])
+        out.append((e1, arrays[f"g3_{i}"], K))
+    return out
+
+
 def pad_dias_for_k3(dias_meta, dias_arrays, nrows_part: int):
     """Pad every DIA table's value grid to D2R*128*128 rows (K3's y grid).
 
@@ -355,6 +487,17 @@ def _build_k1(T: int, q: int, style: str, dtype_str: str):
                         total = total + jnp.where(sub == j * 8 + k, tk,
                                                   jnp.zeros((), dtype))
             prod = total * val_ref[t]
+            if style.startswith("run"):
+                # horizontal runs: units occupy W consecutive lanes (W
+                # divides 128, units never cross rows).  A sliding sum
+                # of width W via log2(W) roll-right adds leaves each
+                # unit's TOTAL at its last lane (8u*W + W-1); lanes below
+                # W-1 hold wrapped garbage but no G1 wire points there.
+                W_run = int(style[3:])
+                d = 1
+                while d < W_run:
+                    prod = prod + pltpu.roll(prod, d, axis=1)
+                    d *= 2
             g1 = jax.lax.shift_right_logical(mg, jnp.int32(16)) - 1
             g = jnp.take_along_axis(prod, jnp.maximum(g1, 0), axis=1)
             out_ref[t] = jnp.where(g1 >= 0, g, jnp.zeros((), dtype))

@@ -417,22 +417,27 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
         xg = _take_x(d["row_ids"] + row_start)
         z = z.at[d["cols"] + z_off].add(_vb(d["vals"]) * xg, mode="drop")
 
-    def _gather_units(t, entry, gidx, width):
+    def _gather_units(t, entry, cols_u, steps, width):
         """(U, width[, k]) x values: paged-gather prefix + jnp.take tail
-        (SpMM always takes the XLA row-gather: rows amortize the cost)."""
+        (SpMM always takes the XLA row-gather: rows amortize the cost).
+        ``cols_u`` (U,) head columns + ``steps`` (width,) lane offsets —
+        the full (U, width) index grid is only materialized on the
+        non-paged path (building + clipping it costs two full passes)."""
         plan_sig = entry[3] if len(entry) > 3 else None
-        clipped = jnp.clip(gidx, 0, ncols - 1)
         if mm or plan_sig is None or "plan" not in t:
-            return jnp.take(x, clipped, axis=0)
+            gidx = cols_u[:, None] + steps[None, :]
+            return jnp.take(x, jnp.clip(gidx, 0, ncols - 1), axis=0)
         from sparsex_tpu.ops.pallas_kernels import paged_gather
         T, q, g, npages = plan_sig
         xg_page = paged_gather(plan_sig, t["plan"], x, ncols,
                                width, x2=x2).astype(x.dtype)
         n_page = T * g
-        if gidx.shape[0] > n_page:
-            tail = jnp.take(x, clipped[n_page:], axis=0)
+        U = cols_u.shape[0]
+        if U > n_page:
+            tidx = cols_u[n_page:, None] + steps[None, :]
+            tail = jnp.take(x, jnp.clip(tidx, 0, ncols - 1), axis=0)
             return jnp.concatenate([xg_page, tail], axis=0)
-        return xg_page[: gidx.shape[0]]
+        return xg_page[:U]
 
     def _scatter_partials(acc, t, entry, partials):
         """acc += scatter(partials): through the shared K3 when the entry
@@ -477,8 +482,32 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
         enc = EncType(enc_i)
         sr, sc = run_step(enc)
         lane = jnp.arange(width, dtype=jnp.int32)
-        gidx = t["cols"][:, None] + (sc * delta) * lane[None, :]
-        xg = _gather_units(t, entry, gidx, width)
+        if len(entry) > 5 and entry[5] and entry[5][0] == "frun":
+            # fully fused horizontal runs: one kernel gathers, multiplies,
+            # sliding-sums each unit and routes through G1 into the
+            # shared K3 (ops/fused.py)
+            assert not mm and not symmetric, "fused runs are 1-D only"
+            from sparsex_tpu.ops.fused import fused_run_e1s
+            _, fmeta_r, n_tail = entry[5]
+            fr = t["frun"]
+            k3_pending.extend(fused_run_e1s(fmeta_r, fr, x, ncols,
+                                            nrows_part))
+            steps = (sc * delta) * lane
+            if fmeta_r[4]:    # over-capacity residual unit totals
+                ridx = fr["res_cols_u"][:, None] + steps[None, :]
+                pr = jnp.sum(fr["res_vals2d"]
+                             * _take_x(jnp.clip(ridx, 0, ncols - 1)),
+                             axis=1)
+                k3_post.append(("acc", pr, fr["res_dest"], None))
+            if n_tail:        # unpageable tail units
+                tidx = t["tail_cols"][:, None] + steps[None, :]
+                pr = jnp.sum(t["tail_vals"]
+                             * _take_x(jnp.clip(tidx, 0, ncols - 1)),
+                             axis=1)
+                k3_post.append(("acc", pr, t["tail_rows"], None))
+            continue
+        xg = _gather_units(t, entry, t["cols"], (sc * delta) * lane,
+                           width)
         contrib = _vb(t["vals"]) * xg
         if sr == 0:
             # horizontal: one partial per unit
@@ -501,21 +530,25 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
                       + row_start)
             xgr = jnp.take(x, jnp.clip(ridx_g, 0, ncols - 1), axis=0)
             zc = _vb(t["vals"]) * xgr
+            gidx = (t["cols"][:, None]
+                    + ((sc * delta) * lane)[None, :])
             z = z.at[jnp.clip(gidx + z_off, 0,
                               nrows_glob - 1).ravel()].add(
                 zc.reshape(-1, kdim) if mm else zc.ravel(), mode="drop")
 
-    # --- block tables: MXU einsum ---
+    # --- block tables ---
     for entry, t in zip(block_meta, arrs["blocks"]):
         enc_i, br, bc = entry[:3]
-        cidx = t["cols"][:, None] + jnp.arange(bc, dtype=jnp.int32)[None, :]
-        xg = _gather_units(t, entry, cidx, bc)  # (U, bc[, k])
+        xg = _gather_units(t, entry, t["cols"],
+                           jnp.arange(bc, dtype=jnp.int32), bc)
         if mm:
             contrib = jnp.einsum("urc,uck->urk", t["vals"], xg,
                                  preferred_element_type=dtype).astype(dtype)
         else:
-            contrib = jnp.einsum("urc,uc->ur", t["vals"], xg,
-                                 preferred_element_type=dtype).astype(dtype)
+            # broadcast-multiply-sum, NOT a batched einsum: XLA lowers a
+            # batch-65k tiny dot_general near-serially on TPU (measured);
+            # the elementwise form runs at HBM speed (bc is tiny/static)
+            contrib = jnp.sum(t["vals"] * xg[:, None, :], axis=2)
         routed = _scatter_partials(acc, t, entry, contrib)
         ridx = (t["rows"][:, None]
                 + jnp.arange(br, dtype=jnp.int32)[None, :])
@@ -528,6 +561,8 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
         if symmetric:
             xgr = jnp.take(x, jnp.clip(ridx + row_start, 0, ncols - 1),
                            axis=0)  # (U, br[, k])
+            cidx = (t["cols"][:, None]
+                    + jnp.arange(bc, dtype=jnp.int32)[None, :])
             if mm:
                 tcontrib = jnp.einsum(
                     "urc,urk->uck", t["vals"], xgr,
@@ -536,9 +571,7 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
                                   nrows_glob - 1).ravel()].add(
                     tcontrib.reshape(-1, kdim), mode="drop")
             else:
-                tcontrib = jnp.einsum(
-                    "urc,ur->uc", t["vals"], xgr,
-                    preferred_element_type=dtype).astype(dtype)
+                tcontrib = jnp.sum(t["vals"] * xgr[:, :, None], axis=1)
                 z = z.at[jnp.clip(cidx + z_off, 0,
                                   nrows_glob - 1).ravel()].add(
                     tcontrib.ravel(), mode="drop")
@@ -555,6 +588,8 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
             if kind == "prod":
                 acc = acc.at[c].add(a * jnp.take(x, b, mode="clip"),
                                     mode="drop")
+            elif kind == "acc":
+                acc = acc.at[b].add(a, mode="drop")
             else:
                 acc = acc.at[c].add(jnp.take(a, b), mode="drop")
 

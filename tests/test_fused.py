@@ -220,3 +220,44 @@ def test_stacked_planner_bail_logs_warning():
         assert any("scatter-route plan rejected" in m for m in msgs)
     finally:
         handler.sinks.update(old)
+
+
+def test_fused_run_kernel_end_to_end(monkeypatch):
+    """Horizontal runs ride the fully fused kernel (gather + FMA +
+    sliding lane sum + G1 -> shared K3); tail + residual units stay
+    exact."""
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    cfg = Config.instance()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.preproc.xform", "h")
+
+    rng = np.random.default_rng(11)
+    n = 1 << 14
+    nu = 1200
+    hr = rng.integers(0, n, nu)
+    hc = rng.integers(0, n - 8, nu)
+    rows = np.repeat(hr, 8)
+    cols = (hc[:, None] + np.arange(8)[None]).ravel()
+    key = rows.astype(np.int64) * n + cols
+    _, u = np.unique(key, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    ex = mat.executors[0]
+    with pltpu.force_tpu_interpret_mode():
+        assert ex._pages_active()
+        fruns = [e[5] for e in ex._pages_meta[2]
+                 if len(e) > 5 and e[5] and e[5][0] == "frun"]
+        assert fruns, "fused run kernel not built"
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(ex(jnp.asarray(x)))
+    ref = np.zeros(n, np.float64)
+    np.add.at(ref, rows, vals.astype(np.float64) *
+              x.astype(np.float64)[cols])
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
