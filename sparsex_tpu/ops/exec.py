@@ -340,6 +340,22 @@ class CsxExecutor:
                         + np.arange(bc, dtype=np.int64)[None, :])
                 flat = np.clip(gidx, 0, ncols - 1).reshape(-1)
                 order, n_pageable, plan = build_unit_pages(flat, bc, ncols)
+                if plan is not None and 128 % bc == 0:
+                    # fully fused blocks: the gathered grid stays in
+                    # (T, 8, 128) form; each block row r becomes a routed
+                    # segment (XLA lane-roll sliding sums -> shared K3);
+                    # no thin (U, bc) reshape, no batched einsum
+                    fblk = self._build_fblk(t, order, plan, br, bc, ncols)
+                    if fblk is not None:
+                        entry_arrays, seg_metas, n_tail = fblk
+                        plan_entry = (plan["T"], plan["q"], plan["g"],
+                                      plan["npages"])
+                        block_meta.append((enc_i, br, bc, plan_entry,
+                                           None, ("fblk", seg_metas,
+                                                  n_tail)))
+                        block_arrays.append(entry_arrays)
+                        changed = True
+                        continue
                 if plan is not None:
                     entry_arrays = {
                         "rows": t["rows"][order], "cols": t["cols"][order],
@@ -387,6 +403,45 @@ class CsxExecutor:
         extras = [e for e in (dmeta_entry, dscatter_entry, dfused_entry,
                               k3dias_entry) if e]
         self._pages_meta = tuple(meta) + tuple(extras)
+
+    def _build_fblk(self, t, order, plan, br: int, bc: int, ncols: int):
+        """Fused-block segments: per block row r, a routed segment whose
+        source is the gathered grid after a width-bc sliding lane sum
+        (destinations at unit-end lanes, ref ``block_row_tmpl.c``'s
+        register-blocked FMA role).  Returns (entry_arrays, seg_metas,
+        n_tail) or None."""
+        from sparsex_tpu.ops.fused import plan_partial_segment
+
+        T, g = plan["T"], plan["g"]
+        n_page = T * g
+        U = t["rows"].shape[0]
+        rows_o = t["rows"][order].astype(np.int64)
+        vals_o = np.asarray(t["vals"])[order]        # (U, br, bc)
+        nrows = self.tables.nrows
+        entry_arrays = {
+            "plan": {k: plan[k] for k in ("plo", "sl")},
+        }
+        # per-r value grids in gathered-grid order
+        vg = np.zeros((br, T, 8, 128), dtype=vals_o.dtype)
+        vg[:, :, :, :] = np.moveaxis(
+            vals_o[:n_page], 1, 0).reshape(br, T, 8, 128)
+        entry_arrays["valsg"] = vg
+        seg_metas = []
+        dest = np.full(T * 1024, nrows, dtype=np.int64)
+        ends = np.arange(n_page, dtype=np.int64) * bc + (bc - 1)
+        for r in range(br):
+            dest[ends] = rows_o[:n_page] + r
+            seg = plan_partial_segment(dest.copy(), nrows)
+            if seg is None:
+                return None
+            inst_meta, seg_arrays, has_res, M_pad = seg
+            entry_arrays[f"fb_{r}"] = seg_arrays
+            seg_metas.append((inst_meta, has_res, M_pad))
+        tail = order[n_page:]
+        entry_arrays["tail_rows"] = t["rows"][tail].astype(np.int32)
+        entry_arrays["tail_cols"] = t["cols"][tail].astype(np.int32)
+        entry_arrays["tail_vals"] = np.asarray(t["vals"])[tail]
+        return entry_arrays, tuple(seg_metas), int(tail.size)
 
     def invalidate_value_caches(self) -> None:
         """Drop layouts that copied table values (page/route forms and the

@@ -51,81 +51,75 @@ MIN_FUSED_NNZ = 1 << 15    # below this the XLA delta path is cheaper
 # Plan construction (host side)
 # ---------------------------------------------------------------------------
 
+SB_PAGES = 4   # lane-placed superblock: pages per tile window
+
+
 def _lane_place_layout(cols, rows, vals, fold, ncols: int,
                        nrows_part: int):
     """Lane-placed delta layout: each element sits at the LANE equal to
-    its column's low 7 bits, so K1's x gather collapses to one sublane
-    gather (``take_along_axis(page, sub, axis=0)``) per page — ~8x less
-    VPU work than the lane-shuffle search over sub-rows (measured: the
-    product kernel is compute-bound, not bandwidth-bound).
+    its column's low 7 bits and every tile's x window is ONE aligned
+    SB_PAGES-page block, so K1 does a single page DMA and SB_PAGES
+    sublane gathers per tile (vs q page DMAs and 24q lane-shuffle ops).
 
-    Placement: within each (fold, lane) class, elements rank by column;
-    rank%8 is the sub-row and rank//8 the group-local tile.  Random
-    columns fill tiles to ~98%; pathological lane skew (fill < 62%)
-    returns None and the caller falls back to the dense-tile layout.
+    Placement: within each (fold, superblock, lane) class, elements rank
+    by column; rank%8 is the sub-row and rank//8 the class tile level.
+    Tiles are (fold, superblock)-pure, so page spans never spill; the
+    only failure mode is lane-skew fill (< 50% -> caller falls back to
+    the dense-tile lane-shuffle layout).
 
-    Returns (plo, low, vals3, dest, tile_group, q, npages, leftover_sel,
-    cols_at_pos) — ``low`` is the packed page*8+row index (< 64).
+    Returns (p0, low, vals3, dest, tile_group, q, npages, leftover_sel,
+    cols_at_pos) — ``p0`` is the tile's superblock index (block units),
+    ``low`` the within-window row (page*8 + source row, < 32).
     """
     m = cols.size
     npages = -(-ncols // PAGE)
+    sb_cols = SB_PAGES * PAGE
     lane = cols & (L - 1)
-    order = np.lexsort((cols, lane, fold))
-    f_s, l_s, c_s = fold[order], lane[order], cols[order]
+    sb = cols // sb_cols
+    order = np.lexsort((cols, lane, sb, fold))
+    f_s, b_s, l_s, c_s = fold[order], sb[order], lane[order], cols[order]
     new_cls = np.empty(m, dtype=bool)
     new_cls[0] = True
-    np.logical_or(f_s[1:] != f_s[:-1], l_s[1:] != l_s[:-1],
-                  out=new_cls[1:])
+    np.logical_or.reduce(
+        [f_s[1:] != f_s[:-1], b_s[1:] != b_s[:-1], l_s[1:] != l_s[:-1]],
+        out=new_cls[1:])
     starts = np.flatnonzero(new_cls)
     ci = np.cumsum(new_cls) - 1
     pos_in_cls = np.arange(m, dtype=np.int64) - starts[ci]
     sub_row = pos_in_cls % 8
-    tile_in_grp = pos_in_cls // 8
-    # tiles per fold group = max over its lane classes
-    n_fold = int(f_s[-1]) + 1
-    tiles_per_grp = np.zeros(n_fold, dtype=np.int64)
-    np.maximum.at(tiles_per_grp, f_s, tile_in_grp + 1)
-    T_all = int(tiles_per_grp.sum())
-    if T_all * DELTA_TILE > m * 8 // 5:      # fill < ~62%: lane skew
+    lvl = pos_in_cls // 8                 # tile level within the group
+
+    # dense (fold, superblock) group ids + tiles per group
+    new_grp = np.empty(m, dtype=bool)
+    new_grp[0] = True
+    np.logical_or(f_s[1:] != f_s[:-1], b_s[1:] != b_s[:-1],
+                  out=new_grp[1:])
+    gi = np.cumsum(new_grp) - 1
+    n_grp = int(gi[-1]) + 1
+    tiles_per_grp = np.zeros(n_grp, dtype=np.int64)
+    np.maximum.at(tiles_per_grp, gi, lvl + 1)
+    T = int(tiles_per_grp.sum())
+    if T * DELTA_TILE > m * 2:            # fill < 50%: lane skew
         return None
     grp_base = np.concatenate([[0], np.cumsum(tiles_per_grp)[:-1]])
-    tile = grp_base[f_s] + tile_in_grp
+    tile = grp_base[gi] + lvl
 
-    # per-tile page span
-    pages = c_s // PAGE
-    pmin = np.full(T_all, np.iinfo(np.int64).max, dtype=np.int64)
-    pmax = np.full(T_all, -1, dtype=np.int64)
-    np.minimum.at(pmin, tile, pages)
-    np.maximum.at(pmax, tile, pages)
-    keepm = (pmax - pmin + 1) <= MAX_Q
-    keep_el = keepm[tile]
-    kept = np.flatnonzero(keep_el)
-    if kept.size < max(m // 2, 1):
-        return None
-    leftover_sel = order[~keep_el]
-
-    kt = np.flatnonzero(keepm)
-    T = kt.size
-    q = int((pmax[kt] - pmin[kt] + 1).max())
-    newt_of = np.cumsum(keepm) - 1
-    plo = np.minimum(pmin[kt], max(0, npages - q)).astype(np.int32)
-    # group label per kept tile (tiles are fold-pure by construction)
+    p0 = np.zeros(T, dtype=np.int32)
+    p0[tile] = b_s        # every tile of a group shares its superblock
     tg = np.zeros(T, dtype=np.int64)
-    tg[newt_of[tile[kept]]] = f_s[kept]
+    tg[tile] = f_s
 
-    ti = newt_of[tile[kept]]
-    sr = sub_row[kept]
-    la = l_s[kept]
     low = np.zeros((T, 8, L), dtype=np.int32)
     vals3 = np.zeros((T, 8, L), dtype=vals.dtype)
     dest = np.full((T, 8, L), nrows_part, dtype=np.int64)
     cols_at_pos = np.zeros((T, 8, L), dtype=np.int64)
-    off = c_s[kept] - plo[ti].astype(np.int64) * PAGE
-    low[ti, sr, la] = off // L                # page*8 + source row, < 64
-    vals3[ti, sr, la] = vals[order[kept]]
-    dest[ti, sr, la] = rows[order[kept]]
-    cols_at_pos[ti, sr, la] = c_s[kept]
-    return (plo, low, vals3, dest.reshape(-1), tg, q, int(npages),
+    off = c_s - b_s * sb_cols             # < SB_PAGES * 1024
+    low[tile, sub_row, l_s] = off // L    # page*8 + source row, < 32
+    vals3[tile, sub_row, l_s] = vals[order]
+    dest[tile, sub_row, l_s] = rows[order]
+    cols_at_pos[tile, sub_row, l_s] = c_s
+    leftover_sel = np.zeros(0, dtype=np.int64)
+    return (p0, low, vals3, dest.reshape(-1), tg, SB_PAGES, int(npages),
             leftover_sel, cols_at_pos.reshape(-1))
 
 
@@ -394,7 +388,7 @@ def fused_run_e1s(meta, arrays, x, ncols: int, nrows_part: int):
         Ai = A1[a0:a1]
         if S1p != S1c:
             Ai = jnp.pad(Ai, ((0, S1p - S1c), (0, 0)))
-        A1T = Ai.T.reshape(L, A2R, L)
+        A1T = _build_t1(A2R, dt)(Ai)
         e1 = _build_k2(A2R, W2, D2R, dt)(
             A1T, arrays[f"g2a_{i}"], arrays[f"g2b_{i}"],
             arrays[f"g2c_{i}"])
@@ -457,22 +451,26 @@ def _build_k1(T: int, q: int, style: str, dtype_str: str):
     dtype = jnp.dtype(dtype_str)
     GT = K1_GT
     assert T % GT == 0, "builder pads T to K1_GT"
+    q8 = 1 << max(0, int(q - 1).bit_length())
+    n_prefs = 1 if style == "lp" else q
 
     def kernel(plo_ref, mg_ref, val_ref, *page_refs_and_out):
-        page_refs = page_refs_and_out[: GT * q]
-        out_ref = page_refs_and_out[GT * q]
+        page_refs = page_refs_and_out[: GT * n_prefs]
+        out_ref = page_refs_and_out[GT * n_prefs]
         for t in range(GT):
             mg = mg_ref[t]
             low = jax.lax.bitwise_and(mg, jnp.int32(0x3FFF))
             total = jnp.zeros((8, L), dtype=dtype)
             if style == "lp":
-                # lane-placed: elements sit at their x lane; one sublane
-                # gather resolves each page (q*3 VPU ops vs q*24)
+                # lane-placed: elements sit at their x lane and every
+                # tile's window is ONE aligned q8-page block — a single
+                # DMA and one sublane gather per page (DMA issue and the
+                # 24-op lane-shuffle were most of K1's runtime)
                 pg = jax.lax.shift_right_logical(low, jnp.int32(3))
                 sr = jax.lax.bitwise_and(low, jnp.int32(7))
-                for j in range(q):
-                    C = jnp.take_along_axis(page_refs[t * q + j][0], sr,
-                                            axis=0)
+                win = page_refs[t]
+                for j in range(q8):
+                    C = jnp.take_along_axis(win[j], sr, axis=0)
                     total = total + jnp.where(pg == j, C,
                                               jnp.zeros((), dtype))
             else:
@@ -508,11 +506,18 @@ def _build_k1(T: int, q: int, style: str, dtype_str: str):
         pl.BlockSpec((GT, 8, L), lambda i, m: (i, 0, 0),
                      memory_space=pltpu.VMEM),   # vals
     ]
-    page_specs = [pl.BlockSpec(
-        (1, 8, L),
-        functools.partial(
-            lambda i, m, t=t, j=j: (m[i * GT + t] + j, 0, 0)),
-        memory_space=pltpu.VMEM) for t in range(GT) for j in range(q)]
+    if style == "lp":
+        # plo holds p0 (units of q8-page blocks); one block read per tile
+        page_specs = [pl.BlockSpec(
+            (q8, 8, L),
+            functools.partial(lambda i, m, t=t: (m[i * GT + t], 0, 0)),
+            memory_space=pltpu.VMEM) for t in range(GT)]
+    else:
+        page_specs = [pl.BlockSpec(
+            (1, 8, L),
+            functools.partial(
+                lambda i, m, t=t, j=j: (m[i * GT + t] + j, 0, 0)),
+            memory_space=pltpu.VMEM) for t in range(GT) for j in range(q)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T // GT,),
@@ -526,7 +531,7 @@ def _build_k1(T: int, q: int, style: str, dtype_str: str):
         name=f"k1_product_g1_{style}")
 
     def fn(plo, mg, vals, x2):
-        return call(plo, mg, vals, *([x2] * (GT * q)))
+        return call(plo, mg, vals, *([x2] * (GT * n_prefs)))
 
     return fn
 
@@ -559,7 +564,10 @@ def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str):
 
     def padT(x):
         """(R, 128) -> transpose of the zero-padded (128, 128) square.
-        Padding via concatenate — Mosaic has no scatter primitive."""
+        Padding via concatenate — Mosaic has no scatter primitive.  (An
+        MXU dot_general(x, eye) form was tried r3: exactness needs
+        Precision.HIGHEST, whose 3-pass matmul is SLOWER than the VPU
+        shuffle transpose.)"""
         if x.shape[0] == L:
             return x.T
         xp = jnp.concatenate(
@@ -570,7 +578,7 @@ def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str):
 
     def kernel(a1t_ref, g2a_ref, g2b_ref, g2c_ref, out_ref):
         for cl in range(GC):
-            B = a1t_ref[cl]                 # (A2R, 128) rows asr
+            B = a1t_ref[:, cl, :]           # (A2R, 128) rows asr
             C1 = mtake(B, g2a_ref[cl])      # lanes c2
             C2p = padT(C1)                  # (128, 128) rows c2, lanes asr
             D1 = mtake(C2p[:W2], g2b_ref[cl])   # (W2, 128) lanes dsr
@@ -581,7 +589,9 @@ def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str):
         kernel,
         grid=(L // GC,),
         in_specs=[
-            pl.BlockSpec((GC, A2R, L), lambda c: (c, 0, 0),
+            # A1T arrives in (A2R, L, L) transposed-block form (see
+            # _build_t1): contiguous blocks, no XLA strided reshape
+            pl.BlockSpec((A2R, GC, L), lambda c: (0, c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GC, A2R, L), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -596,6 +606,34 @@ def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str):
         name="k2_middle",
     )
     return call
+
+
+@functools.lru_cache(maxsize=64)
+def _build_t1(A2R: int, dtype_str: str):
+    """A1 (A2R*128, L) -> (A2R, L, L) transposed-block form: block asr
+    holds A1[asr*128:(asr+1)*128, :].T.  XLA's fused transpose+reshape of
+    thin (S1p, 128) matrices runs at ~11 GB/s (measured r3); this kernel
+    writes contiguous (1, L, L) blocks at bandwidth."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = jnp.dtype(dtype_str)
+
+    def kernel(x_ref, o_ref):
+        o_ref[0] = x_ref[...].T
+
+    return pl.pallas_call(
+        kernel,
+        grid=(A2R,),
+        in_specs=[pl.BlockSpec((L, L), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, L, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((A2R, L, L), dtype),
+        name="t1_blocks",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -762,7 +800,13 @@ def fused_delta_e1s(meta, arrays, x, ncols: int, nrows_part: int):
     Dq = -(-nrows_part // L)
     D2R = -(-Dq // L)
 
-    npages_pad = max(npages, q)
+    if style == "lp":
+        # lp windows are single aligned q8-page blocks: the page array
+        # must be a q8 multiple
+        q8 = 1 << max(0, int(q - 1).bit_length())
+        npages_pad = max(-(-npages // q8) * q8, q8)
+    else:
+        npages_pad = max(npages, q)
     if npages_pad * PAGE == ncols:
         x2 = x.reshape(npages_pad, 8, L)
     else:
@@ -778,7 +822,7 @@ def fused_delta_e1s(meta, arrays, x, ncols: int, nrows_part: int):
         Ai = A1[a0:a1]
         if S1p != S1c:
             Ai = jnp.pad(Ai, ((0, S1p - S1c), (0, 0)))
-        A1T = Ai.T.reshape(L, A2R, L)
+        A1T = _build_t1(A2R, dt)(Ai)
         e1 = _build_k2(A2R, W2, D2R, dt)(
             A1T, arrays[f"g2a_{i}"], arrays[f"g2b_{i}"],
             arrays[f"g2c_{i}"])
@@ -861,7 +905,7 @@ def partial_segment_e1s(inst_meta, arrays, partials_flat,
               else jnp.pad(src2d, ((0, S1p - S1c), (0, 0))))
         A1 = _build_lane_gather(S1p, 1, dt)(
             A0, jnp.asarray(arrays[f"g1_{i}"])[None])
-        A1T = A1.T.reshape(L, A2R, L)
+        A1T = _build_t1(A2R, dt)(A1)
         e1 = _build_k2(A2R, W2, D2R, dt)(
             A1T, arrays[f"g2a_{i}"], arrays[f"g2b_{i}"],
             arrays[f"g2c_{i}"])

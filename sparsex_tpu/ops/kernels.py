@@ -539,6 +539,41 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
     # --- block tables ---
     for entry, t in zip(block_meta, arrs["blocks"]):
         enc_i, br, bc = entry[:3]
+        if len(entry) > 5 and entry[5] and entry[5][0] == "fblk":
+            # fully fused blocks: gathered grid stays (T, 8, 128); each
+            # block row r = FMA + width-bc sliding lane sum + routed
+            # segment into the shared K3 (no thin reshape, no einsum)
+            assert not mm and not symmetric, "fused blocks are 1-D only"
+            from sparsex_tpu.ops.fused import partial_segment_e1s
+            from sparsex_tpu.ops.pallas_kernels import paged_gather_grid
+            _, seg_metas, n_tail = entry[5]
+            plan_sig = entry[3]
+            xgd = paged_gather_grid(plan_sig, t["plan"], x, ncols,
+                                    x2=x2).astype(x.dtype)
+            for r, (inst_meta, has_res, M_pad) in enumerate(seg_metas):
+                prod = xgd * t["valsg"][r]
+                d = 1
+                while d < bc:
+                    prod = prod + jnp.roll(prod, d, axis=2)
+                    d *= 2
+                flat = prod.reshape(-1)
+                k3_pending.extend(partial_segment_e1s(
+                    inst_meta, t[f"fb_{r}"], flat, nrows_part))
+                if has_res:
+                    k3_post.append(("take", flat,
+                                    t[f"fb_{r}"]["res_pos"],
+                                    t[f"fb_{r}"]["res_dest"]))
+            if n_tail:
+                tidx = (t["tail_cols"][:, None]
+                        + jnp.arange(bc, dtype=jnp.int32)[None, :])
+                xgt = _take_x(jnp.clip(tidx, 0, ncols - 1))  # (nt, bc)
+                pr = jnp.einsum("urc,uc->ur", t["tail_vals"], xgt)
+                ridx = (t["tail_rows"][:, None]
+                        + jnp.arange(br, dtype=jnp.int32)[None, :])
+                k3_post.append(("acc", pr.ravel(),
+                                jnp.clip(ridx, 0, nrows_part - 1).ravel(),
+                                None))
+            continue
         xg = _gather_units(t, entry, t["cols"],
                            jnp.arange(bc, dtype=jnp.int32), bc)
         if mm:

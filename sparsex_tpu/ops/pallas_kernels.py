@@ -437,13 +437,26 @@ def _build_gather_kernel(T: int, q: int, dtype_str: str):
 
 
 def paged_gather(plan_meta, plan, x, ncols: int, W: int, x2=None):
-    """Gathered x for the pageable prefix: returns (T*g, W)."""
+    """Gathered x for the pageable prefix: returns (T*g, W).
+
+    NOTE: the trailing reshape to a thin (U, W) layout is an XLA strided
+    copy at ~11 GB/s for small W (measured r3) — grid-form consumers
+    should call :func:`paged_gather_grid` instead."""
     T, q, g, npages = plan_meta
     if x2 is None:
         x2 = pad_x_pages(x, ncols, q, npages)
     fn = _build_gather_kernel(T, q, str(np.dtype(x.dtype)))
     out = fn(plan["plo"], plan["sl"], x2)
     return out.reshape(T, DELTA_TILE)[:, : g * W].reshape(T * g, W)
+
+
+def paged_gather_grid(plan_meta, plan, x, ncols: int, x2=None):
+    """Gathered x in raw (T, 8, 128) grid form (element/tile order)."""
+    T, q, g, npages = plan_meta
+    if x2 is None:
+        x2 = pad_x_pages(x, ncols, q, npages)
+    fn = _build_gather_kernel(T, q, str(np.dtype(x.dtype)))
+    return fn(plan["plo"], plan["sl"], x2)
 
 
 def dia_pallas_ok() -> bool:

@@ -261,3 +261,45 @@ def test_fused_run_kernel_end_to_end(monkeypatch):
     np.add.at(ref, rows, vals.astype(np.float64) *
               x.astype(np.float64)[cols])
     assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_fused_block_kernel_end_to_end(monkeypatch):
+    """Block tables ride the fused path: gathered grid stays (T,8,128),
+    each block row is an XLA lane-roll sliding sum + routed segment into
+    the shared K3 (no thin reshape, no batched einsum)."""
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    monkeypatch.setattr(pk, "MIN_PAGE_NNZ", 1024)
+    cfg = Config.instance()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.preproc.xform", "all")
+
+    rng = np.random.default_rng(4)
+    n = 1 << 15
+    br0 = rng.integers(0, (n - 4) // 4, 8000) * 4
+    bc0 = rng.integers(0, (n - 2) // 2, 8000) * 2
+    ii, jj = np.meshgrid(np.arange(4), np.arange(2), indexing="ij")
+    rows = (br0[:, None, None] + ii[None]).ravel()
+    cols = (bc0[:, None, None] + jj[None]).ravel()
+    key = rows.astype(np.int64) * n + cols
+    _, u = np.unique(key, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    ex = mat.executors[0]
+    with pltpu.force_tpu_interpret_mode():
+        assert ex._pages_active()
+        kinds = [e[5][0] for e in ex._pages_meta[3]
+                 if len(e) > 5 and e[5]]
+        assert "fblk" in kinds, "fused blocks not built"
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(ex(jnp.asarray(x)))
+    ref = np.zeros(n, np.float64)
+    np.add.at(ref, rows, vals.astype(np.float64) *
+              x.astype(np.float64)[cols])
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
