@@ -378,6 +378,32 @@ class CsxExecutor:
 
         if not changed:
             return
+        # --- merged route plan: ONE K2/K3 instance set over the
+        # concatenation of every fused segment's source grid.  K2's cost
+        # is ~fixed per instance (colors x W2 transposes, ~60us measured
+        # r3), so per-segment instances multiply it; the merged plan
+        # collapses them (the single biggest structured-matrix lever).
+        fall_entry = None
+        try:
+            fall_entry = self._merge_fused_segments(
+                arrays, dfused_entry, run_meta, run_arrays,
+                block_meta, block_arrays)
+        except Exception:  # pragma: no cover - merge must never break
+            from sparsex_tpu.logger import log_warning
+            import traceback
+            log_warning("merged fused plan failed; keeping per-segment "
+                        "plans:\n%s", traceback.format_exc())
+        # pop host-only stashes regardless of merge outcome
+        if "fused" in arrays:
+            for k in ("_dest", "_tile_group", "_cols_at_pos"):
+                arrays["fused"].pop(k, None)
+        for a in run_arrays:
+            if "frun" in a:
+                for k in ("_dest", "_cols_u_o", "_vals2d_o"):
+                    a["frun"].pop(k, None)
+        for a in block_arrays:
+            a.pop("_dest_r", None)
+
         # DIA tables ride the shared K3 whenever ANY fused segment exists
         # (delta pipeline or a unit table's routed partials)
         k3dias_entry = None
@@ -401,7 +427,7 @@ class CsxExecutor:
         meta[2] = tuple(run_meta)
         meta[3] = tuple(block_meta)
         extras = [e for e in (dmeta_entry, dscatter_entry, dfused_entry,
-                              k3dias_entry) if e]
+                              k3dias_entry, fall_entry) if e]
         self._pages_meta = tuple(meta) + tuple(extras)
 
     def _build_fblk(self, t, order, plan, br: int, bc: int, ncols: int):
@@ -429,19 +455,133 @@ class CsxExecutor:
         seg_metas = []
         dest = np.full(T * 1024, nrows, dtype=np.int64)
         ends = np.arange(n_page, dtype=np.int64) * bc + (bc - 1)
+        dest_rs = []
         for r in range(br):
             dest[ends] = rows_o[:n_page] + r
-            seg = plan_partial_segment(dest.copy(), nrows)
+            dest_rs.append(dest.copy())
+            seg = plan_partial_segment(dest_rs[-1], nrows)
             if seg is None:
                 return None
             inst_meta, seg_arrays, has_res, M_pad = seg
             entry_arrays[f"fb_{r}"] = seg_arrays
             seg_metas.append((inst_meta, has_res, M_pad))
+        entry_arrays["_dest_r"] = dest_rs
         tail = order[n_page:]
         entry_arrays["tail_rows"] = t["rows"][tail].astype(np.int32)
         entry_arrays["tail_cols"] = t["cols"][tail].astype(np.int32)
         entry_arrays["tail_vals"] = np.asarray(t["vals"])[tail]
         return entry_arrays, tuple(seg_metas), int(tail.size)
+
+    def _merge_fused_segments(self, arrays, dfused_entry, run_meta,
+                              run_arrays, block_meta, block_arrays):
+        """Build the merged ("fall") plan over every fused segment's
+        source grid; repacks delta/run G1 wires in place and stores the
+        merged instance arrays under ``arrays["fall"]``.  Returns the
+        static extras entry or None."""
+        import numpy as np
+
+        from sparsex_tpu.ops.fused import (K1_GT, merge_segment_plan,
+                                           pack_k1_meta)
+
+        nrows = self.tables.nrows
+        seg_desc = []
+        dest_list = []
+        tg = None
+        if dfused_entry is not None and "_dest" in arrays.get("fused", {}):
+            dest_list.append(arrays["fused"]["_dest"])
+            tg = arrays["fused"].get("_tile_group")
+            seg_desc.append(("delta",))
+        for ri, e in enumerate(run_meta):
+            if (len(e) > 5 and e[5] and e[5][0] == "frun"
+                    and "_dest" in run_arrays[ri].get("frun", {})):
+                dest_list.append(run_arrays[ri]["frun"]["_dest"])
+                seg_desc.append(("run", ri))
+        for bi, e in enumerate(block_meta):
+            if (len(e) > 5 and e[5] and e[5][0] == "fblk"
+                    and "_dest_r" in block_arrays[bi]):
+                for r, d in enumerate(block_arrays[bi]["_dest_r"]):
+                    dest_list.append(d)
+                    seg_desc.append(("blk", bi, r))
+        if len(dest_list) < 2:
+            return None     # a single segment is already one instance
+
+        merged = merge_segment_plan(dest_list, nrows,
+                                    delta_tile_group=tg)
+        if merged is None:
+            from sparsex_tpu.logger import log_warning
+            log_warning("merged fused plan not applicable; the %d fused "
+                        "segments keep separate route instances",
+                        len(dest_list))
+            return None
+        inst_meta, marrays, bounds, has_res = merged
+
+        # identity G1 in the segment kernels: the merged instances apply
+        # their own G1 at runtime (overlapping folds, see merged_e1s);
+        # run/delta kernels then emit RAW grids.  Identity wires on a
+        # padded tile read its zeros, so padding stays exact.
+        ident = np.broadcast_to(np.arange(128, dtype=np.int32),
+                                (8, 128)).astype(np.int32)
+        res_pos = marrays.pop("res_pos", None)
+        res_dest = marrays.pop("res_dest", None)
+        res_desc = []
+        for si, (kind, *ids) in enumerate(seg_desc):
+            b0, b1 = bounds[si], bounds[si + 1]
+            if kind == "delta":
+                f = arrays["fused"]
+                low = np.asarray(f["mg"]) & 0x3FFF
+                f["mg"] = (low | ((ident + 1) << 16)).astype(np.int32)
+            elif kind == "run":
+                fr = run_arrays[ids[0]]["frun"]
+                low = np.asarray(fr["mg"]) & 0x3FFF
+                fr["mg"] = (low | ((ident + 1) << 16)).astype(np.int32)
+            if res_pos is not None and res_pos.size:
+                m = (res_pos >= b0 * 128) & (res_pos < b1 * 128)
+                if not m.any():
+                    continue
+                lp_ = res_pos[m].astype(np.int64) - b0 * 128
+                dd = res_dest[m].astype(np.int32)
+                if kind == "delta":
+                    f = arrays["fused"]
+                    cap = f["_cols_at_pos"]
+                    vflat = np.asarray(f["vals"]).reshape(-1)
+                    marrays["dres_cols"] = np.minimum(
+                        cap[lp_], self.tables.ncols - 1).astype(np.int32)
+                    marrays["dres_vals"] = vflat[lp_]
+                    marrays["dres_dest"] = dd
+                    res_desc.append(("dres",))
+                elif kind == "run":
+                    ri = ids[0]
+                    fr = run_arrays[ri]["frun"]
+                    W = run_meta[ri][2]
+                    u = (lp_ - (W - 1)) // W
+                    marrays[f"rres_{ri}_cols"] = fr["_cols_u_o"][u].astype(
+                        np.int32)
+                    marrays[f"rres_{ri}_vals"] = fr["_vals2d_o"][u]
+                    marrays[f"rres_{ri}_dest"] = dd
+                    res_desc.append(("rres", ri))
+                else:
+                    bi, r = ids
+                    marrays[f"bres_{bi}_{r}_pos"] = lp_.astype(np.int32)
+                    marrays[f"bres_{bi}_{r}_dest"] = dd
+                    res_desc.append(("bres", bi, r))
+        # per-segment instance arrays are dead once merged
+        if any(k == "delta" for k, *_ in seg_desc):
+            f = arrays["fused"]
+            for i in range(len(dfused_entry[1][3])):
+                for kk in ("g2a", "g2b", "g2c", "g3"):
+                    f.pop(f"{kk}_{i}", None)
+        for kind, *ids in seg_desc:
+            if kind == "run":
+                fr = run_arrays[ids[0]]["frun"]
+                for i in range(len(run_meta[ids[0]][5][1][3])):
+                    for kk in ("g2a", "g2b", "g2c", "g3"):
+                        fr.pop(f"{kk}_{i}", None)
+            elif kind == "blk":
+                bi, r = ids
+                block_arrays[bi].pop(f"fb_{r}", None)
+        arrays["fall"] = marrays
+        return ("fall", tuple(seg_desc), inst_meta,
+                tuple(bounds), tuple(res_desc))
 
     def invalidate_value_caches(self) -> None:
         """Drop layouts that copied table values (page/route forms and the

@@ -259,6 +259,11 @@ def build_fused_delta(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
         arrays["left_cols"] = cols[lo].astype(np.int32)
         arrays["left_vals"] = vals[lo]
 
+    # host-only extras for the executor's merged-plan attempt (popped
+    # before device transfer)
+    arrays["_dest"] = dest
+    arrays["_tile_group"] = tile_group
+    arrays["_cols_at_pos"] = cols_at_pos
     meta = (T_pad, q_val, npages_val, tuple(inst_meta),
             int(res_pos.size), n_left, style)
     return meta, arrays
@@ -360,19 +365,21 @@ def build_fused_run(cols_u: np.ndarray, rows_u: np.ndarray,
         arrays["res_cols_u"] = cols_u[sel].astype(np.int32)
         arrays["res_vals2d"] = vals2d[sel]
         arrays["res_dest"] = res_dest.astype(np.int32)
+    arrays["_dest"] = dest
+    arrays["_cols_u_o"] = cols_u[order[:n_page]]
+    arrays["_vals2d_o"] = vals2d[order[:n_page]]
     meta = (T_pad, int(plan["q"]), int(plan["npages"]), tuple(inst_meta),
             int(res_pos.size), f"run{W}")
     return meta, arrays, order, n_page
 
 
-def fused_run_e1s(meta, arrays, x, ncols: int, nrows_part: int):
-    """K1(run style) + T1 + K2: (e1, g3, K) list for :func:`k3_combine`."""
+def fused_run_a1(meta, arrays, x, ncols: int):
+    """K1(run style) only: the run segment's (T*8, L) grid."""
     import jax.numpy as jnp
 
-    T, q, npages, inst, n_res, style = meta
+    T, q, npages = meta[:3]
+    style = meta[5]
     dt = str(np.dtype(x.dtype))
-    Dq = -(-nrows_part // L)
-    D2R = -(-Dq // L)
     npages_pad = max(npages, q)
     if npages_pad * PAGE == ncols:
         x2 = x.reshape(npages_pad, 8, L)
@@ -382,13 +389,113 @@ def fused_run_e1s(meta, arrays, x, ncols: int, nrows_part: int):
             npages_pad, 8, L)
     a1_3d = _build_k1(T, q, style, dt)(arrays["plo"], arrays["mg"],
                                        arrays["vals"], x2)
-    A1 = a1_3d.reshape(T * 8, L)
+    return a1_3d.reshape(T * 8, L)
+
+
+def fused_run_e1s(meta, arrays, x, ncols: int, nrows_part: int):
+    """K1(run style) + T1 + K2: (e1, g3, K) list for :func:`k3_combine`."""
+    import jax.numpy as jnp
+
+    inst = meta[3]
+    dt = str(np.dtype(x.dtype))
+    Dq = -(-nrows_part // L)
+    D2R = -(-Dq // L)
+    A1 = fused_run_a1(meta, arrays, x, ncols)
     out = []
     for i, (S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1) in enumerate(inst):
         Ai = A1[a0:a1]
         if S1p != S1c:
             Ai = jnp.pad(Ai, ((0, S1p - S1c), (0, 0)))
         A1T = _build_t1(A2R, dt)(Ai)
+        e1 = _build_k2(A2R, W2, D2R, dt)(
+            A1T, arrays[f"g2a_{i}"], arrays[f"g2b_{i}"],
+            arrays[f"g2c_{i}"])
+        out.append((e1, arrays[f"g3_{i}"], K))
+    return out
+
+
+def merge_segment_plan(dest_list, nrows_part: int, max_k: int = 8,
+                       delta_tile_group=None):
+    """ONE route plan over the concatenation of every segment's source
+    grid.  K2's cost is ~fixed per instance (colors x W2 transposes,
+    measured ~60us), so six per-segment instances cost ~6x one merged
+    instance; merging is the single biggest blocky lever (r3 trace).
+
+    ``dest_list``: per segment, the (rows*128,) destination array
+    (sentinel >= nrows_part for padding).  ``delta_tile_group``: the
+    delta segment's per-tile fold labels (segment 0), used to fold-align
+    chunk cuts inside it.  Returns (inst_meta, arrays{g1 global +
+    per-instance g2*/g3}, seg_row_bounds, has_res) or None.
+    """
+    rows_per = [d.size // L for d in dest_list]
+    bounds = np.concatenate([[0], np.cumsum(rows_per)])
+    S1_total = int(bounds[-1])
+    dest = np.concatenate(dest_list)
+
+    cuts = {0, S1_total}
+    if delta_tile_group is not None and delta_tile_group.size:
+        g = delta_tile_group
+        step = np.flatnonzero(g[1:] != g[:-1]) + 1
+        cuts.update(int(t) * 8 for t in step)
+    ranges = []
+    bds = sorted(cuts)
+    for lo, hi in zip(bds[:-1], bds[1:]):
+        for a0 in range(lo, hi, route.CHUNK_SRC_ROWS):
+            ranges.append((a0, min(hi, a0 + route.CHUNK_SRC_ROWS)))
+    plan = route.build_scatter_plan(dest, nrows_part, max_k=max_k,
+                                    ranges=ranges, max_res_frac=0.1)
+    if plan is None:
+        return None
+    metas, arrs_list, res_pos, res_dest = plan
+    if len(metas) > MAX_INSTANCES:
+        return None
+    Dq = -(-nrows_part // L)
+    D2R = -(-Dq // L)
+    # Fold instances may OVERLAP in source rows (segments are not
+    # fold-sorted), and colorings are independent per instance — G1 must
+    # be applied PER INSTANCE at runtime, never unioned into one grid.
+    arrays: Dict[str, np.ndarray] = {}
+    inst_meta = []
+    for i, (meta_i, arrs_i) in enumerate(zip(metas, arrs_list)):
+        S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1 = meta_i
+        if D2Ri != D2R:
+            return None
+        arrays[f"g1_{i}"] = arrs_i["g1"]
+        arrays[f"g2a_{i}"] = arrs_i["g2a"].reshape(L, A2R, L)
+        arrays[f"g2b_{i}"] = arrs_i["g2b"].reshape(L, W2, L)
+        arrays[f"g2c_{i}"] = arrs_i["g2c"].reshape(L, D2R, L)
+        g3 = arrs_i["g3"]
+        g3p = np.full((g3.shape[0], D2R * L, L), -1, dtype=np.int8)
+        g3p[:, : g3.shape[1]] = g3
+        arrays[f"g3_{i}"] = np.ascontiguousarray(
+            g3p.reshape(g3.shape[0], D2R, L, L).transpose(1, 0, 2, 3))
+        inst_meta.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1))
+    if res_pos.size:
+        arrays["res_pos"] = res_pos
+        arrays["res_dest"] = res_dest
+    return (tuple(inst_meta), arrays,
+            tuple(int(b) for b in bounds), bool(res_pos.size))
+
+
+def merged_e1s(inst_meta, arrays, src_global, nrows_part: int):
+    """Per-instance G1 + T1 + K2 over the concatenated RAW source grid;
+    returns the (e1, g3, K) list.  G1 runs per instance because fold
+    instances overlap in source rows with independent colorings."""
+    import jax.numpy as jnp
+    from sparsex_tpu.ops.route import _build_lane_gather
+
+    dt = str(np.dtype(src_global.dtype))
+    Dq = -(-nrows_part // L)
+    D2R = -(-Dq // L)
+    out = []
+    for i, (S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1) in enumerate(
+            inst_meta):
+        Si = src_global[a0:a1]
+        if S1p != S1c:
+            Si = jnp.pad(Si, ((0, S1p - S1c), (0, 0)))
+        A1 = _build_lane_gather(S1p, 1, dt)(
+            Si, jnp.asarray(arrays[f"g1_{i}"])[None])
+        A1T = _build_t1(A2R, dt)(A1)
         e1 = _build_k2(A2R, W2, D2R, dt)(
             A1T, arrays[f"g2a_{i}"], arrays[f"g2b_{i}"],
             arrays[f"g2c_{i}"])
@@ -789,17 +896,13 @@ def _to_blocks(x):
     return xp.reshape(nb, L, L), nb
 
 
-def fused_delta_e1s(meta, arrays, x, ncols: int, nrows_part: int):
-    """K1 + T1 + K2 for the delta elements: returns the per-instance
-    ``(e1, g3, K)`` list ready for :func:`k3_combine`."""
+def fused_delta_a1(meta, arrays, x, ncols: int):
+    """K1 only: the delta segment's (T*8, L) routed/raw grid."""
     import jax.numpy as jnp
 
-    T, q, npages, inst, n_res, n_left = meta[:6]
+    T, q, npages = meta[:3]
     style = meta[6] if len(meta) > 6 else "sl"
     dt = str(np.dtype(x.dtype))
-    Dq = -(-nrows_part // L)
-    D2R = -(-Dq // L)
-
     if style == "lp":
         # lp windows are single aligned q8-page blocks: the page array
         # must be a q8 multiple
@@ -815,8 +918,19 @@ def fused_delta_e1s(meta, arrays, x, ncols: int, nrows_part: int):
             npages_pad, 8, L)
     a1_3d = _build_k1(T, q, style, dt)(arrays["plo"], arrays["mg"],
                                        arrays["vals"], x2)
-    A1 = a1_3d.reshape(T * 8, L)
+    return a1_3d.reshape(T * 8, L)
 
+
+def fused_delta_e1s(meta, arrays, x, ncols: int, nrows_part: int):
+    """K1 + T1 + K2 for the delta elements: returns the per-instance
+    ``(e1, g3, K)`` list ready for :func:`k3_combine`."""
+    import jax.numpy as jnp
+
+    inst = meta[3]
+    dt = str(np.dtype(x.dtype))
+    Dq = -(-nrows_part // L)
+    D2R = -(-Dq // L)
+    A1 = fused_delta_a1(meta, arrays, x, ncols)
     out = []
     for i, (S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1) in enumerate(inst):
         Ai = A1[a0:a1]

@@ -311,19 +311,26 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
     # (e1, g3) pairs here; residual XLA adds are deferred past the K3.
     dfused = extras.get("dfused")
     k3dias = extras.get("k3dias")
+    fall = extras.get("fall")
     k3_pending = []
     k3_post = []
+    fall_pieces = []
+    fall_flats = {}
     if dfused is not None:
         # the executor builds this variant only for 1-D non-symmetric
         # dispatch (SpMM reaches it through the per-column lax.map)
         assert not mm and not symmetric, "fused pipeline is 1-D only"
-        from sparsex_tpu.ops.fused import fused_delta_e1s
+        from sparsex_tpu.ops.fused import fused_delta_a1, fused_delta_e1s
         fmeta = dfused[0]
         far = arrs["fused"]
-        k3_pending += fused_delta_e1s(fmeta, far, x, ncols, nrows_part)
-        if fmeta[4]:   # over-capacity residuals: products from (col, val)
-            k3_post.append(("prod", far["res_vals"], far["res_cols"],
-                            far["res_dest"]))
+        if fall is not None:
+            fall_pieces.append(fused_delta_a1(fmeta, far, x, ncols))
+        else:
+            k3_pending += fused_delta_e1s(fmeta, far, x, ncols,
+                                          nrows_part)
+            if fmeta[4]:   # over-capacity residuals (per-segment plan)
+                k3_post.append(("prod", far["res_vals"],
+                                far["res_cols"], far["res_dest"]))
         if fmeta[5]:   # unpageable spill
             k3_post.append(("prod", far["left_vals"], far["left_cols"],
                             far["left_rows"]))
@@ -487,18 +494,22 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
             # sliding-sums each unit and routes through G1 into the
             # shared K3 (ops/fused.py)
             assert not mm and not symmetric, "fused runs are 1-D only"
-            from sparsex_tpu.ops.fused import fused_run_e1s
+            from sparsex_tpu.ops.fused import (fused_run_a1,
+                                               fused_run_e1s)
             _, fmeta_r, n_tail = entry[5]
             fr = t["frun"]
-            k3_pending.extend(fused_run_e1s(fmeta_r, fr, x, ncols,
-                                            nrows_part))
             steps = (sc * delta) * lane
-            if fmeta_r[4]:    # over-capacity residual unit totals
-                ridx = fr["res_cols_u"][:, None] + steps[None, :]
-                pr = jnp.sum(fr["res_vals2d"]
-                             * _take_x(jnp.clip(ridx, 0, ncols - 1)),
-                             axis=1)
-                k3_post.append(("acc", pr, fr["res_dest"], None))
+            if fall is not None:
+                fall_pieces.append(fused_run_a1(fmeta_r, fr, x, ncols))
+            else:
+                k3_pending.extend(fused_run_e1s(fmeta_r, fr, x, ncols,
+                                                nrows_part))
+                if fmeta_r[4]:   # over-capacity residual unit totals
+                    ridx = fr["res_cols_u"][:, None] + steps[None, :]
+                    pr = jnp.sum(fr["res_vals2d"]
+                                 * _take_x(jnp.clip(ridx, 0, ncols - 1)),
+                                 axis=1)
+                    k3_post.append(("acc", pr, fr["res_dest"], None))
             if n_tail:        # unpageable tail units
                 tidx = t["tail_cols"][:, None] + steps[None, :]
                 pr = jnp.sum(t["tail_vals"]
@@ -537,7 +548,7 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
                 zc.reshape(-1, kdim) if mm else zc.ravel(), mode="drop")
 
     # --- block tables ---
-    for entry, t in zip(block_meta, arrs["blocks"]):
+    for bi, (entry, t) in enumerate(zip(block_meta, arrs["blocks"])):
         enc_i, br, bc = entry[:3]
         if len(entry) > 5 and entry[5] and entry[5][0] == "fblk":
             # fully fused blocks: gathered grid stays (T, 8, 128); each
@@ -557,6 +568,11 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
                     prod = prod + jnp.roll(prod, d, axis=2)
                     d *= 2
                 flat = prod.reshape(-1)
+                if fall is not None:
+                    # raw source piece; the merged instances apply G1
+                    fall_pieces.append(flat.reshape(-1, 128))
+                    fall_flats[(bi, r)] = flat
+                    continue
                 k3_pending.extend(partial_segment_e1s(
                     inst_meta, t[f"fb_{r}"], flat, nrows_part))
                 if has_res:
@@ -610,6 +626,40 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
                 z = z.at[jnp.clip(cidx + z_off, 0,
                                   nrows_glob - 1).ravel()].add(
                     tcontrib.ravel(), mode="drop")
+
+    # --- merged plan: T1+K2 over the concatenated segment grids ---
+    if fall is not None and fall_pieces:
+        from sparsex_tpu.ops.fused import merged_e1s
+        _segs, inst_meta_m, _bounds, res_desc = fall
+        # K1 outputs are padded to whole grid groups; the plan's bounds
+        # use the unpadded grids — trim each piece to its bound width
+        fall_pieces = [p[: _bounds[i + 1] - _bounds[i]]
+                       for i, p in enumerate(fall_pieces)]
+        A1g = jnp.concatenate(fall_pieces, axis=0)
+        k3_pending += merged_e1s(inst_meta_m, arrs["fall"], A1g,
+                                 nrows_part)
+        fa = arrs["fall"]
+        for rd in res_desc:
+            if rd[0] == "dres":
+                k3_post.append(("prod", fa["dres_vals"],
+                                fa["dres_cols"], fa["dres_dest"]))
+            elif rd[0] == "rres":
+                ri = rd[1]
+                W = run_meta[ri][2]
+                enc_r = EncType(run_meta[ri][0])
+                _sr, _sc = run_step(enc_r)
+                stp = (_sc * run_meta[ri][1]) * jnp.arange(
+                    W, dtype=jnp.int32)
+                ridx = fa[f"rres_{ri}_cols"][:, None] + stp[None, :]
+                pr = jnp.sum(fa[f"rres_{ri}_vals"]
+                             * _take_x(jnp.clip(ridx, 0, ncols - 1)),
+                             axis=1)
+                k3_post.append(("acc", pr, fa[f"rres_{ri}_dest"], None))
+            else:
+                bi, r = rd[1], rd[2]
+                k3_post.append(("take", fall_flats[(bi, r)],
+                                fa[f"bres_{bi}_{r}_pos"],
+                                fa[f"bres_{bi}_{r}_dest"]))
 
     # --- the shared K3: all queued routed instances + DIA tables, one y
     # write; deferred residual adds afterwards (tiny) ---

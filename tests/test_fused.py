@@ -303,3 +303,56 @@ def test_fused_block_kernel_end_to_end(monkeypatch):
     np.add.at(ref, rows, vals.astype(np.float64) *
               x.astype(np.float64)[cols])
     assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_merged_plan_all_segments(monkeypatch):
+    """Delta + runs + blocks all converge in ONE merged route plan (one
+    K2/K3 instance set): K2's ~60us fixed per-instance cost made
+    per-segment plans the dominant structured-matrix cost (r3 trace)."""
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    monkeypatch.setattr(pk, "MIN_PAGE_NNZ", 1024)
+    cfg = Config.instance()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.preproc.xform", "all")
+
+    rng = np.random.default_rng(4)
+    n = 1 << 15
+    rows_l, cols_l = [], []
+    br0 = rng.integers(0, (n - 4) // 4, 8000) * 4
+    bc0 = rng.integers(0, (n - 2) // 2, 8000) * 2
+    ii, jj = np.meshgrid(np.arange(4), np.arange(2), indexing="ij")
+    rows_l.append((br0[:, None, None] + ii[None]).ravel())
+    cols_l.append((bc0[:, None, None] + jj[None]).ravel())
+    hr = rng.integers(0, n, 2000)
+    hc = rng.integers(0, n - 8, 2000)
+    rows_l.append(np.repeat(hr, 8))
+    cols_l.append((hc[:, None] + np.arange(8)[None]).ravel())
+    rows_l.append(rng.integers(0, n, 12000))
+    cols_l.append(rng.integers(0, n, 12000))
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    key = rows.astype(np.int64) * n + cols
+    _, u = np.unique(key, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    ex = mat.executors[0]
+    with pltpu.force_tpu_interpret_mode():
+        assert ex._pages_active()
+        extras = {e[0]: e[1:] for e in ex._pages_meta[5:] if e}
+        assert "fall" in extras, "merged plan not built"
+        segs = extras["fall"][0]
+        kinds = {s[0] for s in segs}
+        assert kinds == {"delta", "run", "blk"}
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(ex(jnp.asarray(x)))
+    ref = np.zeros(n, np.float64)
+    np.add.at(ref, rows, vals.astype(np.float64) *
+              x.astype(np.float64)[cols])
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
