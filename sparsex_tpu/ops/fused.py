@@ -671,15 +671,21 @@ def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str):
 
     def padT(x):
         """(R, 128) -> transpose of the zero-padded (128, 128) square.
-        Padding via concatenate — Mosaic has no scatter primitive.  (An
-        MXU dot_general(x, eye) form was tried r3: exactness needs
-        Precision.HIGHEST, whose 3-pass matmul is SLOWER than the VPU
-        shuffle transpose.)"""
-        if x.shape[0] == L:
+        The VPU transpose cost scales with area, so only the occupied
+        rows (padded to a sublane multiple) are transposed; the lane pad
+        is a zero concat.  (An MXU dot_general(x, eye) form was tried
+        r3: exactness needs Precision.HIGHEST, whose 3-pass matmul is
+        SLOWER than the VPU shuffle transpose.)"""
+        R = x.shape[0]
+        if R == L:
             return x.T
-        xp = jnp.concatenate(
-            [x, jnp.zeros((L - x.shape[0], L), dtype)], axis=0)
-        return xp.T
+        r8 = -(-R // 8) * 8
+        if r8 != R:
+            x = jnp.concatenate(
+                [x, jnp.zeros((r8 - R, L), dtype)], axis=0)
+        xt = x.T                               # (128, r8)
+        return jnp.concatenate(
+            [xt, jnp.zeros((L, L - r8), dtype)], axis=1)
 
     GC = 8  # colors per grid step: amortizes the per-step DMA overhead
 
