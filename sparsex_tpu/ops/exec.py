@@ -399,7 +399,7 @@ class CsxExecutor:
                 arrays["fused"].pop(k, None)
         for a in run_arrays:
             if "frun" in a:
-                for k in ("_dest", "_cols_u_o", "_vals2d_o"):
+                for k in ("_dest", "_punit", "_cols_u_o", "_vals2d_o"):
                     a["frun"].pop(k, None)
         for a in block_arrays:
             a.pop("_dest_r", None)
@@ -552,8 +552,7 @@ class CsxExecutor:
                 elif kind == "run":
                     ri = ids[0]
                     fr = run_arrays[ri]["frun"]
-                    W = run_meta[ri][2]
-                    u = (lp_ - (W - 1)) // W
+                    u = fr["_punit"][lp_]
                     marrays[f"rres_{ri}_cols"] = fr["_cols_u_o"][u].astype(
                         np.int32)
                     marrays[f"rres_{ri}_vals"] = fr["_vals2d_o"][u]

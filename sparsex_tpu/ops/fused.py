@@ -123,6 +123,118 @@ def _lane_place_layout(cols, rows, vals, fold, ncols: int,
             leftover_sel, cols_at_pos.reshape(-1))
 
 
+def _run_lane_place(cols_u, rows_u, vals2d, W: int, ncols: int,
+                    nrows_part: int):
+    """Lane-placed layout for width-W step-1 horizontal runs ("rlpW").
+
+    The classic "runW" K1 gathers each element with the 24q-op lane
+    shuffle (measured 132us on the blocky run table, compute-bound).
+    Lane placement turns that into the delta-lp sublane path: element j
+    of a unit sits at lane (col+j) & 127, so the gather is one aligned
+    SB_PAGES-page DMA plus SB_PAGES masked sublane ``take_along_axis``
+    per tile, and the existing CIRCULAR sliding lane sum still reduces
+    each arc in place (wrapping arcs stay W-aligned slots, so they never
+    collide).
+
+    Collision-free packing: an arc occupies the W-aligned mod-128 slot
+    of its head, so two units may share a ROW iff they agree on
+    o = col mod W and differ in col mod 128.  Each (superblock, o) class
+    gets R = max slot-multiplicity row-instances; occurrence k of every
+    slot goes to row-instance k (so a row holds at most one arc per
+    slot, all disjoint).  Row-instances flatten into 8-row tiles per
+    superblock, so T is bounded by rows — not by the worst slot — and
+    uniform unit heads pack at ~mean/max-of-16 fill.
+
+    Returns (T, plo, sl, vals3, dest, punit, q, npages, order, n_page)
+    or None (lane-skew fill < 50%, or too small).  ``punit`` maps each
+    grid position to its unit's index in ``order`` (-1 elsewhere).
+    """
+    c = cols_u.astype(np.int64)
+    sb_cols = SB_PAGES * PAGE
+    sb = c // sb_cols
+    ok = (c + W - 1) // sb_cols == sb      # arc within one superblock
+    idx_ok = np.flatnonzero(ok)
+    if idx_ok.size * W < MIN_FUSED_NNZ:
+        return None
+    co = c[idx_ok]
+    sbo = sb[idx_ok]
+    slot = co & (L - 1)
+    r_occ = route._rank_within(sbo * L + slot)   # rank within (sb, slot)
+    # row-instances per (sb, o): worst slot multiplicity in the class
+    key_so = sbo * W + (co % W)
+    uniq_so, so_d = np.unique(key_so, return_inverse=True)
+    R_so = np.zeros(uniq_so.size, dtype=np.int64)
+    np.maximum.at(R_so, so_d, r_occ + 1)
+    # per-sb row blocks padded to whole 8-row tiles (a tile's window is
+    # ONE superblock, so sb row blocks must not straddle tiles)
+    sb_of_so = uniq_so // W                      # sorted, grouped by sb
+    uniq_sb = np.unique(sbo)
+    sb_d2 = np.searchsorted(uniq_sb, sb_of_so)
+    rows_per_sb = np.zeros(uniq_sb.size, dtype=np.int64)
+    np.add.at(rows_per_sb, sb_d2, R_so)
+    rows_pad = -(-rows_per_sb // 8) * 8
+    T = int(rows_pad.sum()) // 8
+    if T * DELTA_TILE > idx_ok.size * W * 2:   # fill < 50%: lane skew
+        return None
+    sb_row_base = np.concatenate([[0], np.cumsum(rows_pad)[:-1]])
+    cs = np.cumsum(R_so) - R_so                  # exclusive, global
+    first = np.searchsorted(sb_of_so, uniq_sb)   # first so of each sb
+    base_rel = cs - cs[first][sb_d2]             # row base within sb
+    grow = (sb_row_base[sb_d2] + base_rel)[so_d] + r_occ
+    tile = grow // 8
+    row = grow % 8
+
+    plo = np.repeat(uniq_sb.astype(np.int32), rows_pad // 8)
+    sl = np.zeros((T, 8, L), dtype=np.int32)
+    vals3 = np.zeros((T, 8, L), dtype=vals2d.dtype)
+    dest = np.full((T, 8, L), nrows_part, dtype=np.int64)
+    punit = np.full((T, 8, L), -1, dtype=np.int64)
+    lanes = (slot[:, None] + np.arange(W)[None, :]) & (L - 1)
+    offs = np.clip(co[:, None] + np.arange(W)[None, :]
+                   - sbo[:, None] * sb_cols, 0, sb_cols - 1)
+    tW = np.broadcast_to(tile[:, None], lanes.shape)
+    rW = np.broadcast_to(row[:, None], lanes.shape)
+    sl[tW, rW, lanes] = (offs // L).astype(np.int32)
+    vals3[tW, rW, lanes] = vals2d[idx_ok]
+    lane_end = (slot + W - 1) & (L - 1)
+    dest[tile, row, lane_end] = rows_u[idx_ok]
+    punit[tile, row, lane_end] = np.arange(idx_ok.size)
+    order = np.concatenate([idx_ok, np.flatnonzero(~ok)])
+    npages = -(-(-(-ncols // PAGE)) // SB_PAGES) * SB_PAGES
+    return (T, plo, sl, vals3, dest.reshape(-1), punit.reshape(-1),
+            SB_PAGES, int(npages), order, int(idx_ok.size))
+
+
+def _stride_tiles(tile_group: np.ndarray, GT: int = None) -> np.ndarray:
+    """Slot-strided physical tile order for K1 DMA reuse.
+
+    K1 processes GT tiles per grid step and slot t's page-window index
+    map reads tile i*GT + t; Mosaic skips the block DMA whenever the
+    index repeats between consecutive steps.  Column-sorted ADJACENT
+    tiles usually share a page window, but in natural order a slot's
+    successive tiles are GT apart.  Within each tile_group span (fold
+    boundaries must stay contiguous for the merged plan's chunk cuts)
+    this permutation hands each slot a CONTIGUOUS run of tiles:
+    physical p <- span_base + (p % GT) * (span/GT) + p // GT over the
+    GT-aligned interior of the span.  Returns sigma with
+    ``stream_physical = stream_logical[sigma]``.
+    """
+    if GT is None:
+        GT = K1_GT
+    T = tile_group.size
+    sigma = np.arange(T)
+    starts = np.concatenate(
+        [[0], np.flatnonzero(tile_group[1:] != tile_group[:-1]) + 1, [T]])
+    for g0, g1 in zip(starts[:-1], starts[1:]):
+        a0 = -(-int(g0) // GT) * GT
+        a1 = (int(g1) // GT) * GT
+        n = a1 - a0
+        if n >= 2 * GT:
+            loc = np.arange(n)
+            sigma[a0:a1] = a0 + (loc % GT) * (n // GT) + loc // GT
+    return sigma
+
+
 def build_fused_delta(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
                       ncols: int, nrows_part: int, max_k: int = 8):
     """Plan the fused pipeline for one partition's delta singles.
@@ -178,6 +290,19 @@ def build_fused_delta(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
         tile_idx = np.arange(T * DELTA_TILE) // DELTA_TILE
         cols_at_pos = (low.reshape(-1).astype(np.int64)
                        + plo_arr[tile_idx].astype(np.int64) * PAGE)
+
+    # slot-strided physical tile order within each fold span (K1 DMA
+    # reuse; see _stride_tiles) — permutes every per-tile stream
+    # consistently BEFORE route planning, so the plan, G1 wires and
+    # residual positions all live in physical order
+    sigma = _stride_tiles(tile_group)
+    if not np.array_equal(sigma, np.arange(T)):
+        plo_arr = plo_arr[sigma]
+        low = low[sigma]
+        vals3 = vals3[sigma]
+        tile_group = tile_group[sigma]
+        dest = dest.reshape(T, DELTA_TILE)[sigma].reshape(-1)
+        cols_at_pos = cols_at_pos.reshape(T, DELTA_TILE)[sigma].reshape(-1)
 
     # tile-aligned chunk ranges: cut where the (pre-spill) fold group of
     # the tile changes, then at CHUNK_SRC_ROWS — every cut is a multiple
@@ -282,8 +407,10 @@ def build_fused_run(cols_u: np.ndarray, rows_u: np.ndarray,
     ``cols_u``/``rows_u``: (U,) unit heads; ``vals2d``: (U, W) padded
     values; ``step``: column stride between elements (delta).  Returns
     ``(meta, arrays, order, n_page)`` or ``(None,) * 4``; ``meta`` =
-    (T_pad, q, npages, inst, n_res, style) with style "runW"; tail units
-    [n_page:] of the reordered table stay on the XLA path.
+    (T_pad, q, npages, inst, n_res, style) where style is "rlpW"
+    (lane-placed, step-1 W<=8 runs — see :func:`_run_lane_place`) or the
+    dense-tile fallback "runW"; tail units [n_page:] of the reordered
+    table stay on the XLA path.
     """
     from sparsex_tpu.ops.pallas_kernels import build_unit_pages
 
@@ -293,20 +420,64 @@ def build_fused_run(cols_u: np.ndarray, rows_u: np.ndarray,
     Dq = -(-nrows_part // L)
     if -(-Dq // L) > L:
         return None, None, None, 0
-    lanes = np.arange(W, dtype=np.int64) * step
-    flat = np.clip(cols_u[:, None].astype(np.int64) + lanes[None, :],
-                   0, ncols - 1).reshape(-1)
-    order, n_page, plan = build_unit_pages(flat, W, ncols,
-                                           min_elems=MIN_FUSED_NNZ)
-    if plan is None:
-        return None, None, None, 0
-    T = plan["T"]
-    g = plan["g"]
-    n_page = T * g
-    rows_o = rows_u[order].astype(np.int64)
-    dest = np.full(T * DELTA_TILE, nrows_part, dtype=np.int64)
-    ends = np.arange(n_page, dtype=np.int64) * W + (W - 1)
-    dest[ends] = rows_o[:n_page]
+    rl = None
+    if step == 1 and W <= 8:
+        rl = _run_lane_place(cols_u, rows_u, vals2d, W, ncols, nrows_part)
+    if rl is not None:
+        (T, plo_l, sl_l, vals_l, dest_l, punit_l, q_val, npages_val,
+         order, n_page) = rl
+        style = f"rlp{W}"
+    else:
+        lanes = np.arange(W, dtype=np.int64) * step
+        flat = np.clip(cols_u[:, None].astype(np.int64) + lanes[None, :],
+                       0, ncols - 1).reshape(-1)
+        order, n_page, plan = build_unit_pages(flat, W, ncols,
+                                               min_elems=MIN_FUSED_NNZ)
+        if plan is None:
+            return None, None, None, 0
+        T = plan["T"]
+        g = plan["g"]
+        n_page = T * g
+        style = f"run{W}"
+        q_val, npages_val = int(plan["q"]), int(plan["npages"])
+        plo_l = plan["plo"]
+        sl_l = plan["sl"].reshape(T, 8, L).astype(np.int32)
+        vals_l = np.zeros((T, DELTA_TILE), dtype=vals2d.dtype)
+        vals_l[:, : g * W] = vals2d[order[:n_page]].reshape(T, g * W)
+        vals_l = vals_l.reshape(T, 8, L)
+        dest_l = np.full(T * DELTA_TILE, nrows_part, dtype=np.int64)
+        punit_l = np.full(T * DELTA_TILE, -1, dtype=np.int64)
+        ends = np.arange(n_page, dtype=np.int64) * W + (W - 1)
+        dest_l[ends] = rows_u[order[:n_page]].astype(np.int64)
+        punit_l[ends] = np.arange(n_page)
+    ucols = cols_u[order[:n_page]]
+    uvals = vals2d[order[:n_page]]
+    # ---- slot-strided physical tile order (K1 DMA reuse) -----------------
+    # K1 processes GT tiles per grid step; slot t's page-window index map is
+    # plo[i*GT + t], and Mosaic's pipeline skips the block DMA whenever the
+    # index repeats between consecutive steps.  Column-sorted ADJACENT tiles
+    # usually share a page window, but in natural order a slot's successive
+    # tiles are GT apart (always a fresh window).  Laying tiles out
+    # physical p <- logical (p % GT) * (T_pad/GT) + p // GT hands each slot
+    # a CONTIGUOUS run of tiles, so most page fetches collapse into reuse.
+    T_pad = -(-T // K1_GT) * K1_GT
+    Rs = T_pad // K1_GT
+    pidx = np.arange(T_pad)
+    sigma = (pidx % K1_GT) * Rs + pidx // K1_GT
+
+    def _tpad(a, fill=0):
+        if a.shape[0] == T_pad:
+            return a
+        pad = np.full((T_pad - a.shape[0],) + a.shape[1:], fill, a.dtype)
+        return np.concatenate([a, pad])
+
+    plo = _tpad(plo_l)[sigma]
+    sl = _tpad(sl_l)[sigma]
+    vals3 = _tpad(vals_l)[sigma]
+    dest = _tpad(dest_l.reshape(T, DELTA_TILE),
+                 fill=nrows_part)[sigma].reshape(-1)
+    punit = _tpad(punit_l.reshape(T, DELTA_TILE),
+                  fill=-1)[sigma].reshape(-1)
     plan_sc = route.build_scatter_plan(dest, nrows_part, max_k=max_k,
                                        uniform_chunks=True, max_folds=1,
                                        max_res_frac=0.1)
@@ -318,29 +489,17 @@ def build_fused_run(cols_u: np.ndarray, rows_u: np.ndarray,
     metas, arrs_list, res_pos, res_dest = plan_sc
     if len(metas) > MAX_INSTANCES:
         return None, None, None, 0
-    S1_total = T * 8
+    S1_total = T_pad * 8
     g1_all = np.full((S1_total, L), -1, dtype=np.int8)
     for meta_i, arrs_i in zip(metas, arrs_list):
         S1c, a0, a1 = meta_i[0], meta_i[7], meta_i[8]
         g1_all[a0:a1] = arrs_i["g1"][:S1c]
 
-    vals_grid = np.zeros((T, DELTA_TILE), dtype=vals2d.dtype)
-    vals_grid[:, : g * W] = vals2d[order[:n_page]].reshape(T, g * W)
-    T_pad = -(-T // K1_GT) * K1_GT
-    sl = plan["sl"].reshape(T, 8, L).astype(np.int32)
-    mg = pack_k1_meta(sl, g1_all.reshape(T, 8, L))
-    plo = plan["plo"]
-    if T_pad != T:
-        plo = np.concatenate([plo, np.zeros(T_pad - T, dtype=np.int32)])
-        mg = np.concatenate([mg, np.zeros((T_pad - T, 8, L),
-                                          dtype=np.int32)])
-        vals_grid = np.concatenate(
-            [vals_grid.reshape(T, 8, L),
-             np.zeros((T_pad - T, 8, L), dtype=vals_grid.dtype)])
+    mg = pack_k1_meta(sl, g1_all.reshape(T_pad, 8, L))
     arrays: Dict[str, np.ndarray] = {
         "plo": plo,
         "mg": mg,
-        "vals": vals_grid.reshape(T_pad, 8, L),
+        "vals": vals3,
     }
     D2R = metas[0][3]
     inst_meta = []
@@ -359,17 +518,17 @@ def build_fused_run(cols_u: np.ndarray, rows_u: np.ndarray,
         inst_meta.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1))
     if res_pos.size:
         # residual partials are unit TOTALS; recompute in XLA from the
-        # unit head + values (pos = u*W + W-1)
-        u_res = (res_pos.astype(np.int64) - (W - 1)) // W
-        sel = order[u_res]
-        arrays["res_cols_u"] = cols_u[sel].astype(np.int32)
-        arrays["res_vals2d"] = vals2d[sel]
+        # unit head + values (punit maps grid position -> unit)
+        u_res = punit[res_pos.astype(np.int64)]
+        arrays["res_cols_u"] = ucols[u_res].astype(np.int32)
+        arrays["res_vals2d"] = uvals[u_res]
         arrays["res_dest"] = res_dest.astype(np.int32)
     arrays["_dest"] = dest
-    arrays["_cols_u_o"] = cols_u[order[:n_page]]
-    arrays["_vals2d_o"] = vals2d[order[:n_page]]
-    meta = (T_pad, int(plan["q"]), int(plan["npages"]), tuple(inst_meta),
-            int(res_pos.size), f"run{W}")
+    arrays["_punit"] = punit
+    arrays["_cols_u_o"] = ucols
+    arrays["_vals2d_o"] = uvals
+    meta = (T_pad, q_val, npages_val, tuple(inst_meta),
+            int(res_pos.size), style)
     return meta, arrays, order, n_page
 
 
@@ -559,7 +718,8 @@ def _build_k1(T: int, q: int, style: str, dtype_str: str):
     GT = K1_GT
     assert T % GT == 0, "builder pads T to K1_GT"
     q8 = 1 << max(0, int(q - 1).bit_length())
-    n_prefs = 1 if style == "lp" else q
+    is_lp = style == "lp" or style.startswith("rlp")
+    n_prefs = 1 if is_lp else q
 
     def kernel(plo_ref, mg_ref, val_ref, *page_refs_and_out):
         page_refs = page_refs_and_out[: GT * n_prefs]
@@ -568,7 +728,7 @@ def _build_k1(T: int, q: int, style: str, dtype_str: str):
             mg = mg_ref[t]
             low = jax.lax.bitwise_and(mg, jnp.int32(0x3FFF))
             total = jnp.zeros((8, L), dtype=dtype)
-            if style == "lp":
+            if is_lp:
                 # lane-placed: elements sit at their x lane and every
                 # tile's window is ONE aligned q8-page block — a single
                 # DMA and one sublane gather per page (DMA issue and the
@@ -592,12 +752,15 @@ def _build_k1(T: int, q: int, style: str, dtype_str: str):
                         total = total + jnp.where(sub == j * 8 + k, tk,
                                                   jnp.zeros((), dtype))
             prod = total * val_ref[t]
-            if style.startswith("run"):
+            if style.startswith("run") or style.startswith("rlp"):
                 # horizontal runs: units occupy W consecutive lanes (W
                 # divides 128, units never cross rows).  A sliding sum
                 # of width W via log2(W) roll-right adds leaves each
-                # unit's TOTAL at its last lane (8u*W + W-1); lanes below
-                # W-1 hold wrapped garbage but no G1 wire points there.
+                # unit's TOTAL at its last lane.  "run": units at lanes
+                # [uW, uW+W) — lanes below W-1 hold wrapped garbage but
+                # no G1 wire points there.  "rlp": units at W-aligned
+                # mod-128 slots — the CIRCULAR roll makes wrapping arcs
+                # sum correctly, and disjoint slots never mix.
                 W_run = int(style[3:])
                 d = 1
                 while d < W_run:
@@ -613,7 +776,7 @@ def _build_k1(T: int, q: int, style: str, dtype_str: str):
         pl.BlockSpec((GT, 8, L), lambda i, m: (i, 0, 0),
                      memory_space=pltpu.VMEM),   # vals
     ]
-    if style == "lp":
+    if is_lp:
         # plo holds p0 (units of q8-page blocks); one block read per tile
         page_specs = [pl.BlockSpec(
             (q8, 8, L),

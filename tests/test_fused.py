@@ -356,3 +356,59 @@ def test_merged_plan_all_segments(monkeypatch):
     np.add.at(ref, rows, vals.astype(np.float64) *
               x.astype(np.float64)[cols])
     assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+@pytest.mark.parametrize("W", [8, 4])
+def test_run_lane_place_layout(W):
+    """The rlp layout: one unit per column head (dense coverage) engages
+    lane placement; arcs that wrap the mod-128 lane boundary still sum
+    exactly (the sliding roll is circular and slots are W-aligned)."""
+    rng = np.random.default_rng(17)
+    n = 1 << 13
+    U = n - W
+    cols_u = np.arange(U, dtype=np.int64)
+    rng.shuffle(cols_u)
+    rows_u = rng.integers(0, n, U)
+    vals2d = rng.standard_normal((U, W)).astype(np.float32)
+    meta, arrays, order, n_page = fused.build_fused_run(
+        cols_u, rows_u, vals2d, n, n, W)
+    assert meta is not None
+    assert meta[5] == f"rlp{W}", meta[5]
+    x = rng.standard_normal(n).astype(np.float32)
+    xj = jnp.asarray(x)
+    darr = {k: jnp.asarray(v) for k, v in arrays.items()
+            if not k.startswith("_")}
+    with pltpu.force_tpu_interpret_mode():
+        out = fused.fused_run_e1s(meta, darr, xj, n, n)
+        y = fused.k3_combine(out, ((), None, (), None), xj, n, n)
+    y = np.asarray(y).reshape(-1)[:n].astype(np.float64)
+    if meta[4]:
+        ridx = arrays["res_cols_u"][:, None] + np.arange(W)[None, :]
+        pr = np.sum(arrays["res_vals2d"].astype(np.float64)
+                    * x[np.clip(ridx, 0, n - 1)], axis=1)
+        np.add.at(y, arrays["res_dest"], pr)
+    for u in order[n_page:]:
+        c = cols_u[u]
+        y[rows_u[u]] += np.dot(vals2d[u].astype(np.float64),
+                               x[np.clip(np.arange(c, c + W), 0, n - 1)])
+    ref = np.zeros(n)
+    for u in range(U):
+        c = cols_u[u]
+        ref[rows_u[u]] += np.dot(vals2d[u].astype(np.float64),
+                                 x[np.clip(np.arange(c, c + W),
+                                           0, n - 1)])
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_run_lane_place_fill_fallback():
+    """Lane-skewed unit columns (all heads on one lane slot) defeat the
+    rlp packing; the builder must fall back to the dense-tile layout."""
+    rng = np.random.default_rng(18)
+    n = 1 << 13
+    U = 600
+    cols_u = rng.integers(0, n // 128 - 1, U) * 128  # all at slot 0
+    rows_u = rng.integers(0, n, U)
+    vals2d = rng.standard_normal((U, 8)).astype(np.float32)
+    meta, _, _, _ = fused.build_fused_run(
+        cols_u, rows_u, vals2d, n, n, 8)
+    assert meta is None or meta[5] == "run8"
