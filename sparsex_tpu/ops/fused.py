@@ -852,14 +852,37 @@ def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str):
 
     GC = 8  # colors per grid step: amortizes the per-step DMA overhead
 
+    D2R8 = -(-D2R // 8) * 8
+    GB = max(1, L // D2R8)                  # colors batched per transpose
+
     def kernel(a1t_ref, g2a_ref, g2b_ref, g2c_ref, out_ref):
+        Ds = []
         for cl in range(GC):
             B = a1t_ref[:, cl, :]           # (A2R, 128) rows asr
             C1 = mtake(B, g2a_ref[cl])      # lanes c2
             C2p = padT(C1)                  # (128, 128) rows c2, lanes asr
             D1 = mtake(C2p[:W2], g2b_ref[cl])   # (W2, 128) lanes dsr
-            D2p = padT(D1)                  # (128, 128) rows dsr, lanes c2
-            out_ref[cl] = mtake(D2p[:D2R], g2c_ref[cl])  # (D2R,128) lanes j
+            Dsl = D1[:, :D2R]               # only dest sublanes are live
+            if D2R8 != D2R:
+                Dsl = jnp.concatenate(
+                    [Dsl, jnp.zeros((W2, D2R8 - D2R), dtype)], axis=1)
+            Ds.append(Dsl)
+        # Mosaic's NARROW transposes are slower per call than full
+        # squares (measured: (128,8).T 177ns vs (128,128).T 127ns), so
+        # the per-color (W2, D2R) transposes batch into ONE near-square
+        # transpose per group of GB colors (sublane-aligned D2R8 slabs).
+        for b0 in range(0, GC, GB):
+            nb = min(GB, GC - b0)
+            blk = (jnp.concatenate(Ds[b0:b0 + nb], axis=1)
+                   if nb > 1 else Ds[b0])
+            blkT = blk.T                    # (nb*D2R8, W2) rows (cl,dsr)
+            if W2 < L:
+                blkT = jnp.concatenate(
+                    [blkT, jnp.zeros((nb * D2R8, L - W2), dtype)],
+                    axis=1)
+            for i in range(nb):
+                D2s = blkT[i * D2R8: i * D2R8 + D2R]
+                out_ref[b0 + i] = mtake(D2s, g2c_ref[b0 + i])
 
     call = pl.pallas_call(
         kernel,
