@@ -919,16 +919,20 @@ def _build_t1(A2R: int, dtype_str: str):
     from jax.experimental.pallas import tpu as pltpu
 
     dtype = jnp.dtype(dtype_str)
+    # batch blocks per grid step: the per-step DMA issue tax dominated
+    # at one (L, L) block per step (24us for 128 blocks, r3 trace)
+    G = next(b for b in (8, 4, 2, 1) if A2R % b == 0)
 
     def kernel(x_ref, o_ref):
-        o_ref[0] = x_ref[...].T
+        for j in range(G):
+            o_ref[j] = x_ref[j * L:(j + 1) * L, :].T
 
     return pl.pallas_call(
         kernel,
-        grid=(A2R,),
-        in_specs=[pl.BlockSpec((L, L), lambda i: (i, 0),
+        grid=(A2R // G,),
+        in_specs=[pl.BlockSpec((G * L, L), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, L, L), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((G, L, L), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((A2R, L, L), dtype),
         name="t1_blocks",

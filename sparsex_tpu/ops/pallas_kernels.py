@@ -395,43 +395,50 @@ def _build_gather_kernel(T: int, q: int, dtype_str: str):
     from jax.experimental.pallas import tpu as pltpu
 
     dtype = jnp.dtype(dtype_str)
+    # group tiles per grid step where the tile count allows: the
+    # per-step DMA issue tax dominated the one-tile-per-step grid
+    GT = 8 if T % 8 == 0 else 1
 
     def kernel(plo_ref, sl_ref, *page_refs_and_out):
-        page_refs = page_refs_and_out[:q]
-        out_ref = page_refs_and_out[q]
-        sl = sl_ref[0].astype(jnp.int32)   # int16 or int32 in HBM
-        sub = jax.lax.shift_right_logical(sl, jnp.int32(7))
-        lane = jax.lax.bitwise_and(sl, jnp.int32(127))
-        total = jnp.zeros((8, 128), dtype=dtype)
-        for j in range(q):
-            xpage = page_refs[j][0]
-            for k in range(8):
-                rowk = jax.lax.broadcast_in_dim(xpage[k, :], (8, 128), (1,))
-                tk = jnp.take_along_axis(rowk, lane, axis=1)
-                total = total + jnp.where(sub == j * 8 + k, tk,
-                                          jnp.zeros((), dtype))
-        out_ref[0] = total
+        page_refs = page_refs_and_out[:GT * q]
+        out_ref = page_refs_and_out[GT * q]
+        for t in range(GT):
+            sl = sl_ref[t].astype(jnp.int32)   # int16 or int32 in HBM
+            sub = jax.lax.shift_right_logical(sl, jnp.int32(7))
+            lane = jax.lax.bitwise_and(sl, jnp.int32(127))
+            total = jnp.zeros((8, 128), dtype=dtype)
+            for j in range(q):
+                xpage = page_refs[t * q + j][0]
+                for k in range(8):
+                    rowk = jax.lax.broadcast_in_dim(xpage[k, :],
+                                                    (8, 128), (1,))
+                    tk = jnp.take_along_axis(rowk, lane, axis=1)
+                    total = total + jnp.where(sub == j * 8 + k, tk,
+                                              jnp.zeros((), dtype))
+            out_ref[t] = total
 
-    tile_specs = [pl.BlockSpec((1, 8, 128), lambda i, m: (i, 0, 0),
+    tile_specs = [pl.BlockSpec((GT, 8, 128), lambda i, m: (i, 0, 0),
                                memory_space=pltpu.VMEM)]
     page_specs = [pl.BlockSpec(
-        (1, 8, 128), functools.partial(lambda i, m, j=j: (m[i] + j, 0, 0)),
-        memory_space=pltpu.VMEM) for j in range(q)]
+        (1, 8, 128),
+        functools.partial(lambda i, m, t=t, j=j: (m[i * GT + t] + j, 0, 0)),
+        memory_space=pltpu.VMEM) for t in range(GT) for j in range(q)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(T // GT,),
         in_specs=tile_specs + page_specs,
-        out_specs=pl.BlockSpec((1, 8, 128), lambda i, m: (i, 0, 0),
+        out_specs=pl.BlockSpec((GT, 8, 128), lambda i, m: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, 8, 128), dtype),
+        name="paged_gather",
     )
 
     def fn(plo, sl, x2):
-        return call(plo, sl, *([x2] * q))
+        return call(plo, sl, *([x2] * (GT * q)))
 
     return fn
 

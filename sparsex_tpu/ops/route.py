@@ -308,7 +308,10 @@ def _build_lane_gather(R: int, K: int, dtype_str: str):
     from jax.experimental.pallas import tpu as pltpu
 
     dtype = jnp.dtype(dtype_str)
-    BR = 64
+    # biggest row block that divides R: the per-grid-step DMA issue tax
+    # (~150ns/step, r3 trace) dominated at BR=64 (28us for 2M elements);
+    # fewer, larger steps amortize it
+    BR = next(b for b in (512, 256, 128, 64) if R % b == 0)
     assert R % BR == 0
 
     def kernel(x_ref, idx_ref, out_ref):
