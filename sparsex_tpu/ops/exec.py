@@ -335,6 +335,40 @@ class CsxExecutor:
         block_arrays = []
         for (enc_i, br, bc), t in zip(self.meta[3], arrays["blocks"]):
             plan_entry, entry_arrays = None, t
+            # a (br, bc) block is br width-bc step-1 runs: ride the fused
+            # run pipeline (lane-placed K1 + shared merged route) as a
+            # PSEUDO run table — the whole legacy fblk chain (paged
+            # gather + XLA FMA/roll + per-row segments, ~52us on the
+            # blocky bench) collapses into the rlp kernel
+            if bc >= 2 and 128 % bc == 0:
+                from sparsex_tpu.ops.fused import build_fused_run
+                from sparsex_tpu.preprocess.encodings import EncType
+                U = int(np.asarray(t["rows"]).size)
+                cols_b = np.tile(np.asarray(t["cols"], dtype=np.int64), br)
+                rows_b = (np.asarray(t["rows"], dtype=np.int64)[None, :]
+                          + np.arange(br, dtype=np.int64)[:, None]
+                          ).reshape(-1)
+                vals_b = np.ascontiguousarray(
+                    np.asarray(t["vals"]).transpose(1, 0, 2)).reshape(
+                    br * U, bc)
+                fmeta_b, farr_b, order_b, n_page_b = build_fused_run(
+                    cols_b, rows_b, vals_b, ncols, self.tables.nrows, bc)
+                if fmeta_b is not None:
+                    tail = order_b[n_page_b:]
+                    run_meta.append(
+                        (int(EncType.HORIZONTAL), 1, bc, None, None,
+                         ("frun", fmeta_b, tail.size)))
+                    run_arrays.append({
+                        "frun": farr_b,
+                        "tail_rows": rows_b[tail].astype(np.int32),
+                        "tail_cols": cols_b[tail].astype(np.int32),
+                        "tail_vals": vals_b[tail],
+                    })
+                    block_meta.append((enc_i, br, bc, None, None,
+                                       ("cvt",)))
+                    block_arrays.append({})
+                    changed = True
+                    continue
             if bc >= 2:
                 gidx = (t["cols"][:, None].astype(np.int64)
                         + np.arange(bc, dtype=np.int64)[None, :])

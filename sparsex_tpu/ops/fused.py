@@ -532,26 +532,18 @@ def build_fused_run(cols_u: np.ndarray, rows_u: np.ndarray,
     return meta, arrays, order, n_page
 
 
-def fused_run_a1(meta, arrays, x, ncols: int):
+def fused_run_a1(meta, arrays, x, ncols: int, x2=None):
     """K1(run style) only: the run segment's (T*8, L) grid."""
-    import jax.numpy as jnp
-
     T, q, npages = meta[:3]
     style = meta[5]
     dt = str(np.dtype(x.dtype))
-    npages_pad = max(npages, q)
-    if npages_pad * PAGE == ncols:
-        x2 = x.reshape(npages_pad, 8, L)
-    else:
-        x2 = jnp.zeros(npages_pad * PAGE,
-                       dtype=x.dtype).at[:ncols].set(x).reshape(
-            npages_pad, 8, L)
+    x2 = _k1_x2(x, ncols, q, npages, style, x2)
     a1_3d = _build_k1(T, q, style, dt)(arrays["plo"], arrays["mg"],
                                        arrays["vals"], x2)
     return a1_3d.reshape(T * 8, L)
 
 
-def fused_run_e1s(meta, arrays, x, ncols: int, nrows_part: int):
+def fused_run_e1s(meta, arrays, x, ncols: int, nrows_part: int, x2=None):
     """K1(run style) + T1 + K2: (e1, g3, K) list for :func:`k3_combine`."""
     import jax.numpy as jnp
 
@@ -559,7 +551,7 @@ def fused_run_e1s(meta, arrays, x, ncols: int, nrows_part: int):
     dt = str(np.dtype(x.dtype))
     Dq = -(-nrows_part // L)
     D2R = -(-Dq // L)
-    A1 = fused_run_a1(meta, arrays, x, ncols)
+    A1 = fused_run_a1(meta, arrays, x, ncols, x2=x2)
     out = []
     for i, (S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1) in enumerate(inst):
         Ai = A1[a0:a1]
@@ -1092,32 +1084,43 @@ def _to_blocks(x):
     return xp.reshape(nb, L, L), nb
 
 
-def fused_delta_a1(meta, arrays, x, ncols: int):
-    """K1 only: the delta segment's (T*8, L) routed/raw grid."""
+def _k1_x2(x, ncols: int, q: int, npages: int, style: str, x2):
+    """The (npages, 8, L) page grid K1 reads; reuses a caller-shared
+    padded grid when its shape satisfies this kernel's window rounding
+    (each private pad copy showed as ~12us of pad/copy fusions, r3)."""
     import jax.numpy as jnp
 
-    T, q, npages = meta[:3]
-    style = meta[6] if len(meta) > 6 else "sl"
-    dt = str(np.dtype(x.dtype))
-    if style == "lp":
+    if style == "lp" or style.startswith("rlp"):
         # lp windows are single aligned q8-page blocks: the page array
         # must be a q8 multiple
         q8 = 1 << max(0, int(q - 1).bit_length())
         npages_pad = max(-(-npages // q8) * q8, q8)
     else:
+        q8 = 1
         npages_pad = max(npages, q)
+    if (x2 is not None and x2.shape[0] >= npages_pad
+            and x2.shape[0] % q8 == 0):
+        return x2
     if npages_pad * PAGE == ncols:
-        x2 = x.reshape(npages_pad, 8, L)
-    else:
-        x2 = jnp.zeros(npages_pad * PAGE,
-                       dtype=x.dtype).at[:ncols].set(x).reshape(
-            npages_pad, 8, L)
+        return x.reshape(npages_pad, 8, L)
+    return jnp.zeros(npages_pad * PAGE,
+                     dtype=x.dtype).at[:ncols].set(x).reshape(
+        npages_pad, 8, L)
+
+
+def fused_delta_a1(meta, arrays, x, ncols: int, x2=None):
+    """K1 only: the delta segment's (T*8, L) routed/raw grid."""
+    T, q, npages = meta[:3]
+    style = meta[6] if len(meta) > 6 else "sl"
+    dt = str(np.dtype(x.dtype))
+    x2 = _k1_x2(x, ncols, q, npages, style, x2)
     a1_3d = _build_k1(T, q, style, dt)(arrays["plo"], arrays["mg"],
                                        arrays["vals"], x2)
     return a1_3d.reshape(T * 8, L)
 
 
-def fused_delta_e1s(meta, arrays, x, ncols: int, nrows_part: int):
+def fused_delta_e1s(meta, arrays, x, ncols: int, nrows_part: int,
+                    x2=None):
     """K1 + T1 + K2 for the delta elements: returns the per-instance
     ``(e1, g3, K)`` list ready for :func:`k3_combine`."""
     import jax.numpy as jnp
@@ -1126,7 +1129,7 @@ def fused_delta_e1s(meta, arrays, x, ncols: int, nrows_part: int):
     dt = str(np.dtype(x.dtype))
     Dq = -(-nrows_part // L)
     D2R = -(-Dq // L)
-    A1 = fused_delta_a1(meta, arrays, x, ncols)
+    A1 = fused_delta_a1(meta, arrays, x, ncols, x2=x2)
     out = []
     for i, (S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1) in enumerate(inst):
         Ai = A1[a0:a1]

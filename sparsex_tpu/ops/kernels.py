@@ -316,6 +316,18 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
     k3_post = []
     fall_pieces = []
     fall_flats = {}
+    # ONE padded page grid of x shared by every fused K1 call (each
+    # private pad copy showed as ~12us of pad/copy fusions, r3 trace);
+    # rounded to 8 pages so every style's q8 window rounding divides it
+    x2f = None
+    if dfused is not None or any(len(e) > 5 and e[5]
+                                 and e[5][0] == "frun" for e in run_meta):
+        np8 = max(8, -(-(-(-ncols // 1024)) // 8) * 8)
+        if np8 * 1024 == ncols:
+            x2f = x.reshape(np8, 8, 128)
+        else:
+            x2f = jnp.zeros(np8 * 1024, dtype=x.dtype).at[:ncols].set(
+                x).reshape(np8, 8, 128)
     if dfused is not None:
         # the executor builds this variant only for 1-D non-symmetric
         # dispatch (SpMM reaches it through the per-column lax.map)
@@ -324,10 +336,11 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
         fmeta = dfused[0]
         far = arrs["fused"]
         if fall is not None:
-            fall_pieces.append(fused_delta_a1(fmeta, far, x, ncols))
+            fall_pieces.append(fused_delta_a1(fmeta, far, x, ncols,
+                                              x2=x2f))
         else:
             k3_pending += fused_delta_e1s(fmeta, far, x, ncols,
-                                          nrows_part)
+                                          nrows_part, x2=x2f)
             if fmeta[4]:   # over-capacity residuals (per-segment plan)
                 k3_post.append(("prod", far["res_vals"],
                                 far["res_cols"], far["res_dest"]))
@@ -500,10 +513,11 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
             fr = t["frun"]
             steps = (sc * delta) * lane
             if fall is not None:
-                fall_pieces.append(fused_run_a1(fmeta_r, fr, x, ncols))
+                fall_pieces.append(fused_run_a1(fmeta_r, fr, x, ncols,
+                                                x2=x2f))
             else:
                 k3_pending.extend(fused_run_e1s(fmeta_r, fr, x, ncols,
-                                                nrows_part))
+                                                nrows_part, x2=x2f))
                 if fmeta_r[4]:   # over-capacity residual unit totals
                     ridx = fr["res_cols_u"][:, None] + steps[None, :]
                     pr = jnp.sum(fr["res_vals2d"]
@@ -550,6 +564,10 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
     # --- block tables ---
     for bi, (entry, t) in enumerate(zip(block_meta, arrs["blocks"])):
         enc_i, br, bc = entry[:3]
+        if len(entry) > 5 and entry[5] and entry[5][0] == "cvt":
+            # converted to a width-bc pseudo-run table (exec.py): the
+            # run loop above already produced its contribution
+            continue
         if len(entry) > 5 and entry[5] and entry[5][0] == "fblk":
             # fully fused blocks: gathered grid stays (T, 8, 128); each
             # block row r = FMA + width-bc sliding lane sum + routed

@@ -296,7 +296,55 @@ def test_fused_block_kernel_end_to_end(monkeypatch):
         assert ex._pages_active()
         kinds = [e[5][0] for e in ex._pages_meta[3]
                  if len(e) > 5 and e[5]]
-        assert "fblk" in kinds, "fused blocks not built"
+        assert "cvt" in kinds, "blocks not converted to pseudo-runs"
+        # the converted table appears as an extra fused-run entry
+        fruns = [e for e in ex._pages_meta[2]
+                 if len(e) > 5 and e[5] and e[5][0] == "frun"]
+        assert fruns, "pseudo-run table missing"
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(ex(jnp.asarray(x)))
+    ref = np.zeros(n, np.float64)
+    np.add.at(ref, rows, vals.astype(np.float64) *
+              x.astype(np.float64)[cols])
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_fblk_fallback_end_to_end(monkeypatch):
+    """When the run conversion bails, block tables keep the legacy fused
+    fblk path (gathered grid + XLA lane-roll sums + routed segments)."""
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+    import sparsex_tpu.ops.exec as exec_mod
+
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    monkeypatch.setattr(pk, "MIN_PAGE_NNZ", 1024)
+    monkeypatch.setattr(fused, "build_fused_run",
+                        lambda *a, **k: (None, None, None, 0))
+    cfg = Config.instance()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.preproc.xform", "all")
+
+    rng = np.random.default_rng(4)
+    n = 1 << 15
+    br0 = rng.integers(0, (n - 4) // 4, 8000) * 4
+    bc0 = rng.integers(0, (n - 2) // 2, 8000) * 2
+    ii, jj = np.meshgrid(np.arange(4), np.arange(2), indexing="ij")
+    rows = (br0[:, None, None] + ii[None]).ravel()
+    cols = (bc0[:, None, None] + jj[None]).ravel()
+    key = rows.astype(np.int64) * n + cols
+    _, u = np.unique(key, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    ex = mat.executors[0]
+    with pltpu.force_tpu_interpret_mode():
+        assert ex._pages_active()
+        kinds = [e[5][0] for e in ex._pages_meta[3]
+                 if len(e) > 5 and e[5]]
+        assert "fblk" in kinds, "fblk fallback not built"
         x = rng.standard_normal(n).astype(np.float32)
         y = np.asarray(ex(jnp.asarray(x)))
     ref = np.zeros(n, np.float64)
@@ -349,7 +397,10 @@ def test_merged_plan_all_segments(monkeypatch):
         assert "fall" in extras, "merged plan not built"
         segs = extras["fall"][0]
         kinds = {s[0] for s in segs}
-        assert kinds == {"delta", "run", "blk"}
+        # blocks convert to pseudo-run segments (exec.py), so the merged
+        # plan sees delta + >= 2 run segments (real runs + blocks)
+        assert kinds == {"delta", "run"}
+        assert sum(1 for s in segs if s[0] == "run") >= 2
         x = rng.standard_normal(n).astype(np.float32)
         y = np.asarray(ex(jnp.asarray(x)))
     ref = np.zeros(n, np.float64)
