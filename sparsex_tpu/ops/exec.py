@@ -30,7 +30,8 @@ _static_meta = static_meta
 
 @functools.lru_cache(maxsize=128)
 def _compiled(meta: Tuple, dtype_str: str, use_pallas: bool = False,
-              apply_alpha: bool = True, apply_beta: bool = True):
+              apply_alpha: bool = True, apply_beta: bool = True,
+              skip_dias: bool = False):
     """Build + jit the executor for one static table signature.
 
     ``meta`` may carry tagged extras past index 5 (fused pipeline, paged
@@ -45,7 +46,7 @@ def _compiled(meta: Tuple, dtype_str: str, use_pallas: bool = False,
 
     def fn(arrs, x, alpha, beta, y0):
         acc, _ = local_contrib(meta, arrs, x, nrows_part=nrows, ncols=ncols,
-                               use_pallas=use_pallas)
+                               use_pallas=use_pallas, skip_dias=skip_dias)
         if apply_alpha:
             acc = alpha * acc
         if apply_beta:
@@ -53,6 +54,56 @@ def _compiled(meta: Tuple, dtype_str: str, use_pallas: bool = False,
         return acc
 
     return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_mm(meta: Tuple, dtype_str: str, use_pallas: bool,
+                 apply_alpha: bool, slab_dias: bool):
+    """SpMM column-loop program (cached per signature: rebuilding the
+    jit wrapper per call would RETRACE on every matmat).
+
+    Runs the fused/routed SpMV once per column under ``lax.map``
+    (measured: (row, k)-slice gathers still cost per element, so the
+    column loop wins for moderate k) with the per-column epilogue
+    elided, then adds the DIA tables as ONE (rows, k) slab pass — the
+    dv grids are read once instead of once per column.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    nrows, ncols = meta[0], meta[1]
+    meta_dias = meta[4]
+    fn = _compiled(meta, dtype_str, use_pallas,
+                   apply_alpha=False, apply_beta=False,
+                   skip_dias=slab_dias)
+
+    @jax.jit
+    def mm_cols(arrs, xT, a):
+        zeros = jnp.zeros(nrows, dtype=xT.dtype)
+        one = xT.dtype.type(1.0)
+        cols = jax.lax.map(lambda c: fn(arrs, c, one, one, zeros), xT)
+        return a * cols if apply_alpha else cols   # (k, nrows)
+
+    if not slab_dias:
+        # the (k, nrows) -> (nrows, k) transpose runs as a STANDALONE
+        # dispatch: fused into the map program it lowers to the ~11GB/s
+        # thin-transpose path (measured 12.7us standalone vs 1100us
+        # fused on the blocky SpMM)
+        return lambda arrs, xT, a: mm_cols(arrs, xT, a).T
+
+    @jax.jit
+    def add_dias(arrs, out2, xs):
+        from sparsex_tpu.ops.kernels import dia_contrib
+        out2, _ = dia_contrib(meta_dias, arrs["dias"], xs, nrows, 0,
+                              out2, ncols=ncols)
+        return out2
+
+    def run(arrs, xT, a):
+        out2 = mm_cols(arrs, xT, a).T
+        xs = (a * xT).T if apply_alpha else xT.T
+        return add_dias(arrs, out2, xs)
+
+    return run
 
 
 @functools.lru_cache(maxsize=64)
@@ -452,7 +503,11 @@ class CsxExecutor:
                 arrays["dias_fused_dv"] = dv
             if adv is not None:
                 arrays["dias_fused_adv"] = adv
-            arrays["dias"] = []  # K3 carries the (padded) dv streams
+            # keep the raw per-offset grids too: SpMV reads only the
+            # padded K3 streams (jit prunes unused args), but the SpMM
+            # column loop runs with skip_dias and adds the DIA part as
+            # ONE (rows, k) slab pass that reads each dv grid once
+            # instead of once per column
             k3dias_entry = ("k3dias", dia_offs, anti_offs)
         arrays["runs"] = run_arrays
         arrays["blocks"] = block_arrays
@@ -684,21 +739,15 @@ class CsxExecutor:
             # Python loop would compile k copies).
             if (x.shape[1] <= self.MM_COLUMN_LOOP_MAX
                     and self._pages_active()):
-                import jax
                 meta, arrays = self._pages_meta, self._device(True)
-                fn = _compiled(meta, self._dtype,
-                               _resolve_use_pallas(
-                                   self.tables, routed=self._routed()))
-                zeros = jnp.zeros(meta[0], dtype=x.dtype)
-                a = x.dtype.type(alpha)
-                b0 = x.dtype.type(0.0)
-
-                @jax.jit
-                def mm(arrays, xT):
-                    return jax.lax.map(
-                        lambda c: fn(arrays, c, a, b0, zeros), xT)
-
-                out = mm(arrays, x.T).T
+                apply_a = not (isinstance(alpha, (int, float))
+                               and float(alpha) == 1.0)
+                fn_mm = _compiled_mm(meta, self._dtype,
+                                     _resolve_use_pallas(
+                                         self.tables,
+                                         routed=self._routed()),
+                                     apply_a, bool(meta[4]))
+                out = fn_mm(arrays, x.T, x.dtype.type(alpha))
                 if y is not None and beta != 0.0:
                     out = out + x.dtype.type(beta) * jnp.asarray(y)
                 return out

@@ -136,14 +136,15 @@ def _run_lane_place(cols_u, rows_u, vals2d, W: int, ncols: int,
     each arc in place (wrapping arcs stay W-aligned slots, so they never
     collide).
 
-    Collision-free packing: an arc occupies the W-aligned mod-128 slot
-    of its head, so two units may share a ROW iff they agree on
-    o = col mod W and differ in col mod 128.  Each (superblock, o) class
-    gets R = max slot-multiplicity row-instances; occurrence k of every
-    slot goes to row-instance k (so a row holds at most one arc per
-    slot, all disjoint).  Row-instances flatten into 8-row tiles per
-    superblock, so T is bounded by rows — not by the worst slot — and
-    uniform unit heads pack at ~mean/max-of-16 fill.
+    Packing: arcs only need to be DISJOINT within a row (the sliding
+    window at an arc's end lane covers exactly its own W lanes), so
+    this is circular interval packing on 128 lanes.  Per superblock,
+    arcs sort by head lane and deal round-robin over
+    R = ceil(count/13) rows: same-row neighbours are R apart in sorted
+    order, so their gaps concentrate near 128R/count ≈ 10 > W and only
+    the few conflicting arcs (plus circular wrap conflicts) are evicted
+    into a second packing round; the remainder spills to the XLA tail.
+    Measured fill ≈ 75% vs 58% for the earlier slot-aligned scheme.
 
     Returns (T, plo, sl, vals3, dest, punit, q, npages, order, n_page)
     or None (lane-skew fill < 50%, or too small).  ``punit`` maps each
@@ -156,31 +157,74 @@ def _run_lane_place(cols_u, rows_u, vals2d, W: int, ncols: int,
     idx_ok = np.flatnonzero(ok)
     if idx_ok.size * W < MIN_FUSED_NNZ:
         return None
-    co = c[idx_ok]
-    sbo = sb[idx_ok]
-    slot = co & (L - 1)
-    r_occ = route._rank_within(sbo * L + slot)   # rank within (sb, slot)
-    # row-instances per (sb, o): worst slot multiplicity in the class
-    key_so = sbo * W + (co % W)
-    uniq_so, so_d = np.unique(key_so, return_inverse=True)
-    R_so = np.zeros(uniq_so.size, dtype=np.int64)
-    np.maximum.at(R_so, so_d, r_occ + 1)
+    uniq_sb, sb_all = np.unique(sb[idx_ok], return_inverse=True)
+    nsb = uniq_sb.size
+    rows_used = np.zeros(nsb, dtype=np.int64)    # rows allocated so far
+
+    def pack_round(idx, div):
+        """Round-robin interval packing of arcs ``idx`` (indices into
+        idx_ok).  Returns (rows_global_per_arc, kept_mask); allocates
+        rows on top of ``rows_used``."""
+        sl_ = (c[idx_ok[idx]] & (L - 1))
+        sbd = sb_all[idx]
+        order_ = np.lexsort((sl_, sbd))
+        sbs, ss = sbd[order_], sl_[order_]
+        cnt = np.bincount(sbs, minlength=nsb)
+        # rows hold up to 128/W arcs; ~1.23x slack (div=104) keeps the
+        # round-robin neighbour gaps concentrated above W; later rounds
+        # (small per-sb counts, noisier gaps) use more slack
+        R = np.maximum(1, -(-cnt * W // div))
+        starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        pos = np.arange(idx.size)
+        rank = pos - starts[sbs]
+        Rr = R[sbs]
+        row_in = rank % Rr
+        okg = np.ones(idx.size, dtype=bool)
+        hp = rank >= Rr                       # has a same-row predecessor
+        gp = np.flatnonzero(hp)
+        okg[gp] = (ss[gp] - ss[gp - Rr[gp]]) >= W
+        # circular conflicts: an arc that wraps past lane 127 overlaps
+        # the row's FIRST arc unless first_s + 128 - s >= W.  The first
+        # arc (smallest s, no predecessor) is never evicted, so it is a
+        # stable anchor; at most one wrapping arc survives the linear
+        # check per row.
+        wr = np.flatnonzero(ss > L - W)
+        firstpos = (starts[sbs] + row_in)[wr]
+        okg[wr] &= ((ss[firstpos] + L - ss[wr]) >= W) | (firstpos == wr)
+        grow_ = np.full(idx.size, -1, dtype=np.int64)
+        grow_[okg] = (rows_used[sbs] + row_in)[okg]
+        rows_used[np.arange(nsb)] += R * (cnt > 0)
+        out = np.full(idx.size, -1, dtype=np.int64)
+        out[order_] = grow_
+        return out
+
+    all_pos = np.arange(idx_ok.size)
+    rows_rel = np.full(idx_ok.size, -1, dtype=np.int64)
+    pend = all_pos
+    # keep packing the evicted remainder: spilled units fall to the XLA
+    # tail gather, which costs ~6.6 ns/element inside the SpMM column
+    # scan — a handful of extra rounds leaves a negligible tail
+    for rnd in range(8):
+        if pend.size <= 64:
+            break
+        got = pack_round(pend, 104 if rnd < 2 else 40)
+        rows_rel[pend] = got
+        pend = pend[got < 0]
+    placed = rows_rel >= 0
     # per-sb row blocks padded to whole 8-row tiles (a tile's window is
     # ONE superblock, so sb row blocks must not straddle tiles)
-    sb_of_so = uniq_so // W                      # sorted, grouped by sb
-    uniq_sb = np.unique(sbo)
-    sb_d2 = np.searchsorted(uniq_sb, sb_of_so)
-    rows_per_sb = np.zeros(uniq_sb.size, dtype=np.int64)
-    np.add.at(rows_per_sb, sb_d2, R_so)
-    rows_pad = -(-rows_per_sb // 8) * 8
+    rows_pad = -(-rows_used // 8) * 8
     T = int(rows_pad.sum()) // 8
-    if T * DELTA_TILE > idx_ok.size * W * 2:   # fill < 50%: lane skew
-        return None
+    if T == 0 or T * DELTA_TILE > int(placed.sum()) * W * 2:
+        return None                            # fill < 50%: lane skew
     sb_row_base = np.concatenate([[0], np.cumsum(rows_pad)[:-1]])
-    cs = np.cumsum(R_so) - R_so                  # exclusive, global
-    first = np.searchsorted(sb_of_so, uniq_sb)   # first so of each sb
-    base_rel = cs - cs[first][sb_d2]             # row base within sb
-    grow = (sb_row_base[sb_d2] + base_rel)[so_d] + r_occ
+
+    keep = np.flatnonzero(placed)
+    idx_pl = idx_ok[keep]
+    co = c[idx_pl]
+    sbo = sb[idx_pl]
+    slot = co & (L - 1)
+    grow = sb_row_base[sb_all[keep]] + rows_rel[keep]
     tile = grow // 8
     row = grow % 8
 
@@ -195,14 +239,15 @@ def _run_lane_place(cols_u, rows_u, vals2d, W: int, ncols: int,
     tW = np.broadcast_to(tile[:, None], lanes.shape)
     rW = np.broadcast_to(row[:, None], lanes.shape)
     sl[tW, rW, lanes] = (offs // L).astype(np.int32)
-    vals3[tW, rW, lanes] = vals2d[idx_ok]
+    vals3[tW, rW, lanes] = vals2d[idx_pl]
     lane_end = (slot + W - 1) & (L - 1)
-    dest[tile, row, lane_end] = rows_u[idx_ok]
-    punit[tile, row, lane_end] = np.arange(idx_ok.size)
-    order = np.concatenate([idx_ok, np.flatnonzero(~ok)])
+    dest[tile, row, lane_end] = rows_u[idx_pl]
+    punit[tile, row, lane_end] = np.arange(idx_pl.size)
+    spill = np.concatenate([idx_ok[~placed], np.flatnonzero(~ok)])
+    order = np.concatenate([idx_pl, spill])
     npages = -(-(-(-ncols // PAGE)) // SB_PAGES) * SB_PAGES
     return (T, plo, sl, vals3, dest.reshape(-1), punit.reshape(-1),
-            SB_PAGES, int(npages), order, int(idx_ok.size))
+            SB_PAGES, int(npages), order, int(idx_pl.size))
 
 
 def _stride_tiles(tile_group: np.ndarray, GT: int = None) -> np.ndarray:

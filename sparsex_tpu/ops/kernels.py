@@ -259,7 +259,8 @@ def dia_contrib(meta_dias, dias, x, nrows_part: int, row_start,
 def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
                   row_start=0, symmetric: bool = False,
                   dvals=None, nrows_glob: Optional[int] = None,
-                  use_pallas: bool = False, z_off: int = 0):
+                  use_pallas: bool = False, z_off: int = 0,
+                  skip_dias: bool = False):
     # ``z_off``: halo-symmetric rebasing — x-side coordinates (cols, DIA
     # offsets) are in WINDOW coordinates while z destinations stay
     # GLOBAL; every z index derived from a column adds z_off.
@@ -349,7 +350,7 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
                             far["left_rows"]))
 
     # --- dense diagonals (elementwise, HBM-bound) ---
-    if dia_meta and k3dias is None:
+    if dia_meta and k3dias is None and not skip_dias:
         acc, z2 = dia_contrib(dia_meta, arrs["dias"], x, nrows_part,
                               row_start, acc,
                               z=z if symmetric else None,
@@ -681,9 +682,10 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
 
     # --- the shared K3: all queued routed instances + DIA tables, one y
     # write; deferred residual adds afterwards (tiny) ---
-    if k3_pending or k3dias is not None:
+    if k3_pending or (k3dias is not None and not skip_dias):
         from sparsex_tpu.ops.fused import k3_combine
-        dia_offs, anti_offs = k3dias if k3dias is not None else ((), ())
+        dia_offs, anti_offs = (((), ()) if skip_dias or k3dias is None
+                               else k3dias)
         pack = (dia_offs, arrs.get("dias_fused_dv"), anti_offs,
                 arrs.get("dias_fused_adv"))
         acc = acc + k3_combine(k3_pending, pack, x, nrows_part, ncols)

@@ -253,3 +253,58 @@ def test_spmm_sharded():
     Y = np.asarray(sh.matmat(X, alpha=2.0))
     ref = 2.0 * (_dense(n, rows, cols, vals) @ X)
     assert np.abs(Y - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_spmm_dia_slab_hybrid(monkeypatch):
+    """SpMM with the paged executor: DIA leaves the per-column loop and
+    lands as ONE (rows, k) slab pass (each dv grid read once, not once
+    per column); the routed tables keep the column map."""
+    import sparsex_tpu.ops.pallas_kernels as pk
+    import sparsex_tpu.ops.fused as fused
+    import sparsex_tpu.ops.route as route_mod
+    from jax.experimental.pallas import tpu as pltpu
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    monkeypatch.setattr(pk, "MIN_PAGE_NNZ", 64)
+    monkeypatch.setattr(fused, "MIN_FUSED_NNZ", 256)
+    monkeypatch.setattr(route_mod, "MIN_ELEMS", 64)
+    cfg = Config.instance()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.preproc.xform", "all")
+    cfg.set("spx.tpu.dia_min_fill", "0.5")
+
+    rng = np.random.default_rng(5)
+    n = 1 << 13
+    rows_l, cols_l = [], []
+    for o in (0, 3, -70):
+        r = np.arange(max(0, -o), min(n, n - o))
+        rows_l.append(r)
+        cols_l.append(r + o)
+    rows_l.append(rng.integers(0, n, n))
+    cols_l.append(rng.integers(0, n, n))
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    key = rows.astype(np.int64) * n + cols
+    _, u = np.unique(key, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o_ = np.lexsort((cols, rows))
+    rows, cols = rows[o_], cols[o_]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    ex = mat.executors[0]
+    import jax.numpy as jnp
+    k = 5
+    X = rng.standard_normal((n, k)).astype(np.float32)
+    Y0 = rng.standard_normal((n, k)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        assert ex._pages_active()
+        extras = [e[0] for e in ex._pages_meta[5:] if e]
+        assert "k3dias" in extras, extras
+        Y = np.asarray(ex(jnp.asarray(X), alpha=1.7, beta=0.5,
+                          y=jnp.asarray(Y0)))
+    ref = 0.5 * Y0.astype(np.float64)
+    np.add.at(ref, rows, 1.7 * vals[:, None].astype(np.float64)
+              * X.astype(np.float64)[cols])
+    assert np.abs(Y - ref).max() / np.abs(ref).max() < 1e-5
