@@ -27,6 +27,8 @@ that the serialized-scatter floor is gone.  1.0 means the target is met.
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
@@ -37,10 +39,103 @@ LOOPS = int(os.environ.get("LOOPS", "128"))
 OUTER_LOOPS = int(os.environ.get("OUTER_LOOPS", "5"))
 N = int(os.environ.get("BENCH_N", str(1 << 20)))
 N_BLOCKY = int(os.environ.get("BENCH_N_BLOCKY", str(1 << 19)))
+N_SYM = int(os.environ.get("BENCH_N_SYM", str(1 << 20)))
+N_DIAGC = int(os.environ.get("BENCH_N_DIAGC", str(1 << 19)))
+INIT_TRIES = int(os.environ.get("BENCH_INIT_TRIES", "5"))
+INIT_BACKOFF_S = float(os.environ.get("BENCH_INIT_BACKOFF_S", "60"))
+SECTION_TIMEOUT_S = int(os.environ.get("BENCH_SECTION_TIMEOUT_S", "1200"))
+# f32 accumulation-order tolerance for the in-run oracle cross-check
+# (ref checks 1e-7 in f64, Bench.cpp:256-263; f32 SpMV reorders sums)
+CHECK_TOL = float(os.environ.get("BENCH_CHECK_TOL", "2e-4"))
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def emit(value, vs_baseline, extra):
+    """The ONE structured JSON line the driver records."""
+    print(json.dumps({
+        "metric": "csx_spmv_nnz_per_s",
+        "value": value,
+        "unit": "nnz/s",
+        "vs_baseline": vs_baseline,
+        "extra": extra,
+    }))
+    sys.stdout.flush()
+
+
+class HardwareUnavailable(RuntimeError):
+    pass
+
+
+def _mixed_rel_err(a, b) -> float:
+    """max |a-b| / (|b| + 1e-3*max|b|): relative where |b| is large, scaled
+    absolute near zero rows (f32 cancellation makes pure relative error
+    meaningless for y entries summing to ~0)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if not a.size:
+        return 0.0
+    scale = 1e-3 * float(np.max(np.abs(b))) + 1e-30
+    return float(np.max(np.abs(a - b) / (np.abs(b) + scale)))
+
+
+def _force_cpu() -> bool:
+    """CPU smoke mode (JAX_PLATFORMS=cpu): the axon TPU plugin overrides
+    the env var, so the platform must be forced via jax.config AFTER
+    import (CLAUDE.md)."""
+    return os.environ.get("JAX_PLATFORMS", "") == "cpu"
+
+
+def probe_backend():
+    """Verify the TPU backend initializes, in a SUBPROCESS with a hard
+    timeout (backend init can HANG, not just fail — r3's evidence was
+    erased by exactly that).  Retries with backoff; raises
+    HardwareUnavailable after the last attempt."""
+    pre = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+           if _force_cpu() else "import jax; ")
+    code = (pre + "d = jax.devices()[0]; "
+            "print(d.platform, len(jax.devices()))")
+    last = ""
+    for attempt in range(1, INIT_TRIES + 1):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True, timeout=180)
+            if r.returncode == 0 and r.stdout.strip():
+                log(f"backend probe ok (attempt {attempt}): "
+                    f"{r.stdout.strip()}")
+                return
+            last = (r.stderr or r.stdout).strip()[-800:]
+        except subprocess.TimeoutExpired:
+            last = "backend init timed out after 180s"
+        log(f"backend probe attempt {attempt}/{INIT_TRIES} failed: "
+            f"{last.splitlines()[-1] if last else '?'}")
+        if attempt < INIT_TRIES:
+            time.sleep(INIT_BACKOFF_S)
+    raise HardwareUnavailable(last)
+
+
+class _Watchdog:
+    """SIGALRM guard around one bench section: an in-process hang (chip
+    drops mid-compile) turns into a catchable exception instead of an
+    evidence-erasing driver timeout."""
+
+    def __init__(self, name, seconds=SECTION_TIMEOUT_S):
+        self.name, self.seconds = name, seconds
+
+    def __enter__(self):
+        def fire(signum, frame):
+            raise HardwareUnavailable(
+                f"section '{self.name}' exceeded {self.seconds}s")
+        self._old = signal.signal(signal.SIGALRM, fire)
+        signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, *exc):
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+        return False
 
 
 def build_matrix(n):
@@ -76,6 +171,69 @@ def build_blocky_matrix(n):
     cols.append((hc[:, None] + np.arange(8)[None]).ravel())
     # singles
     m = n // 4
+    rows.append(rng.integers(0, n, size=m))
+    cols.append(rng.integers(0, n, size=m))
+    return _dedup_sort(np.concatenate(rows), np.concatenate(cols), n)
+
+
+def build_symmetric_matrix(n):
+    """Symmetric: banded diagonals (0, ±1, ±8, ±13) + mirrored singles —
+    the CSX-Sym flagship configuration (ref csx_sym_spmv_tmpl.c)."""
+    rng = np.random.default_rng(5)
+    rows, cols = [], []
+    for b in (0, 1, 8, 13):     # lower half; mirror below
+        r = np.arange(b, n, dtype=np.int64)
+        rows.append(r)
+        cols.append(r - b)
+    m = n // 4
+    sr = rng.integers(0, n, size=m)
+    sc = rng.integers(0, n, size=m)
+    lo, hi = np.minimum(sr, sc), np.maximum(sr, sc)
+    rows.append(hi)
+    cols.append(lo)
+    rows, cols = np.concatenate(rows), np.concatenate(cols)
+    # mirror the strict lower triangle to build the full COO
+    strict = rows > cols
+    rows_f = np.concatenate([rows, cols[strict]])
+    cols_f = np.concatenate([cols, rows[strict]])
+    rows_f, cols_f, _ = _dedup_sort(rows_f, cols_f, n)
+    # VALUE symmetry: derive v from the unordered pair so v(r,c) == v(c,r)
+    lo = np.minimum(rows_f, cols_f).astype(np.uint64)
+    hi = np.maximum(rows_f, cols_f).astype(np.uint64)
+    key = lo * np.uint64(n) + hi
+    h = (key * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+    vals = (h.astype(np.float32) / np.float32(1 << 24) - 0.5) * 0.2
+    return rows_f, cols_f, vals
+
+
+def build_diagc_matrix(n):
+    """Diag-class: PARTIAL diagonal runs, anti-diagonal runs and vertical
+    runs + singles — exercises the diag/rdiag/vert kernel classes
+    (ref diag_tmpl.c, rdiag_tmpl.c, vert_tmpl.c), which the other
+    workloads never touch."""
+    rng = np.random.default_rng(9)
+    rows, cols = [], []
+    j16 = np.arange(16)
+    # partial diagonal segments (length 16, scattered offsets)
+    nd = n // 24
+    dr = rng.integers(0, n - 16, size=nd)
+    dc = rng.integers(0, n - 16, size=nd)
+    rows.append((dr[:, None] + j16[None]).ravel())
+    cols.append((dc[:, None] + j16[None]).ravel())
+    # anti-diagonal segments (length 16)
+    ar = rng.integers(0, n - 16, size=nd)
+    ac = rng.integers(16, n, size=nd)
+    rows.append((ar[:, None] + j16[None]).ravel())
+    cols.append((ac[:, None] - j16[None]).ravel())
+    # vertical runs (length 8)
+    j8 = np.arange(8)
+    nv = n // 12
+    vr = rng.integers(0, n - 8, size=nv)
+    vc = rng.integers(0, n, size=nv)
+    rows.append((vr[:, None] + j8[None]).ravel())
+    cols.append(np.repeat(vc, 8))
+    # singles
+    m = n // 8
     rows.append(rng.integers(0, n, size=m))
     cols.append(rng.integers(0, n, size=m))
     return _dedup_sort(np.concatenate(rows), np.concatenate(cols), n)
@@ -144,12 +302,14 @@ def _device_time_per_iter(fn, iters: int, reps: int = 3):
             pids = {e["pid"]: e["args"].get("name", "") for e in ev
                     if e.get("ph") == "M"
                     and e.get("name") == "process_name"}
-            top = 0.0
-            for e in ev:
-                if (e.get("ph") == "X" and "dur" in e
-                        and "TPU" in pids.get(e["pid"], "")
-                        and e["name"].startswith("jit_")):
-                    top = max(top, e["dur"])
+            # SUM all top-level device programs: a timed chain that
+            # dispatches several jitted programs per call (e.g. an
+            # unwrapped mm_cols + transpose + add_dias) would be
+            # undercounted by a max (ADVICE r3)
+            top = sum(e["dur"] for e in ev
+                      if (e.get("ph") == "X" and "dur" in e
+                          and "TPU" in pids.get(e["pid"], "")
+                          and e["name"].startswith("jit_")))
             if not top:
                 return None
             t = top / iters * 1e-6
@@ -186,7 +346,7 @@ def measure_hbm_bw():
     return 3 * nbytes / per_iter
 
 
-def bench_workload(name, n, rows, cols, vals):
+def bench_workload(name, n, rows, cols, vals, save_restore=False):
     """Tune + time one matrix; returns a metrics dict."""
     import jax
     import jax.numpy as jnp
@@ -198,12 +358,32 @@ def bench_workload(name, n, rows, cols, vals):
     log(f"[{name}] matrix: {n}x{n}, nnz={nnz}")
     t0 = time.perf_counter()
     mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    pt_mine = time.perf_counter() - t0
     tables = mat.shards[0]
     ex = mat.executors[0]
     meta, arrays = ex.meta, ex.arrays
     if ex._pages_active():  # build page/route layouts inside pt, like tune
         meta, arrays = ex._pages_meta, ex._pages_arrays
     pt = time.perf_counter() - t0
+    pt_plan = pt - pt_mine   # page/route/fused planning share of pt
+    restore_pt = None
+    if save_restore:
+        # matrix-caching story (ref CsxSaveRestore.hpp:161-369): archive
+        # the tuned tables + layouts, restore, and report restore-pt —
+        # the amortize-preprocessing claim, measured in the perf loop
+        import tempfile
+        from sparsex_tpu.persist import restore_csx, save_csx
+        with tempfile.TemporaryDirectory() as td:
+            fn_path = os.path.join(td, "bench.spx")
+            save_csx(mat, fn_path)
+            t0 = time.perf_counter()
+            mat2, _perm = restore_csx(fn_path)
+            ex2 = mat2.executors[0]
+            if ex2._pages_active():
+                pass  # layouts restored from the archive
+            restore_pt = time.perf_counter() - t0
+            log(f"[{name}] restore-pt={restore_pt:.2f}s (pt={pt:.2f}s)")
+            del mat2, ex2
     csx_bytes = mat.csx_size()
     log(f"[{name}] pt={pt:.2f}s csx_size={csx_bytes / 1e6:.1f}MB "
         f"({csx_bytes / nnz:.2f} B/nnz; csr would be "
@@ -257,8 +437,23 @@ def bench_workload(name, n, rows, cols, vals):
             return y
         return lambda: chained(arrays, x)
 
-    x = jnp.asarray(np.random.default_rng(1).standard_normal(n),
-                    dtype=jnp.float32)
+    x_np = np.random.default_rng(1).standard_normal(n).astype(np.float32)
+    x = jnp.asarray(x_np)
+
+    # --- in-run numeric cross-check vs the COO oracle (ref
+    # Bench.cpp:256-263: every bench run verifies before it times) ---
+    from sparsex_tpu.ops.oracle import coo_spmv
+    y_dev = np.asarray(spmv(arrays, x, jnp.float32(1.0), jnp.float32(0.0),
+                            zeros))
+    y_ref = coo_spmv(n, rows, cols, vals, x_np)
+    rel = _mixed_rel_err(y_dev, y_ref)
+    log(f"[{name}] oracle cross-check: max rel err {rel:.2e} "
+        f"(tol {CHECK_TOL:g})")
+    if not rel < CHECK_TOL:
+        raise AssertionError(
+            f"[{name}] SpMV result diverges from the oracle: "
+            f"rel={rel:.3e} > {CHECK_TOL:g}")
+
     fn1 = make(LOOPS // 4)
     _sync(fn1())   # compile before tracing
     per_iter = _device_time_per_iter(fn1, LOOPS // 4)
@@ -270,15 +465,89 @@ def bench_workload(name, n, rows, cols, vals):
                                            OUTER_LOOPS)
         log(f"[{name}] timing (wall slope): t({LOOPS // 4})={t_k1:.4f}s "
             f"t({LOOPS})={t_k2:.4f}s -> {per_iter * 1e6:.1f} us/SpMV")
+    out = {
+        "nnz": nnz,
+        "nnz_per_s": nnz / per_iter,
+        "mflops": 2 * nnz / (1e6 * per_iter),
+        "us_per_spmv": per_iter * 1e6,
+        "pt_s": pt,
+        "pt_mine_s": pt_mine,
+        "pt_plan_s": pt_plan,
+        "check_rel_err": rel,
+        "csx_bytes": csx_bytes,
+        # ideal one-pass traffic: compressed tables + x read + y write +
+        # the renormalization chain (2 extra row passes)
+        "ideal_bytes": csx_bytes + 4 * n * 4,
+    }
+    if restore_pt is not None:
+        out["restore_pt_s"] = restore_pt
+    return out
+
+
+def bench_symmetric(name, n, rows, cols, vals):
+    """Tune + time the symmetric (CSX-Sym) SpMV on full-COO input.
+
+    Throughput counts the FULL matrix nnz (the work a symmetric SpMV
+    performs), matching the reference MFLOPS accounting for symmetric
+    matrices.  Returns a metrics dict like :func:`bench_workload`."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparsex_tpu.ops.oracle import coo_spmv
+    from sparsex_tpu.symmetric import build_symmetric_csx
+
+    nnz = rows.size          # full (mirrored) nonzero count
+    log(f"[{name}] symmetric matrix: {n}x{n}, nnz_full={nnz}")
+    t0 = time.perf_counter()
+    mat = build_symmetric_csx(n, n, rows, cols, vals)
+    pt_mine = time.perf_counter() - t0
+    x_np = np.random.default_rng(2).standard_normal(n).astype(np.float32)
+    x = jnp.asarray(x_np)
+    # warmup OUTSIDE any trace: builds layouts + device caches
+    y_dev = np.asarray(mat.matvec(x))
+    pt = time.perf_counter() - t0
+    csx_bytes = mat.csx_size()
+    log(f"[{name}] pt={pt:.2f}s csx_size={csx_bytes / 1e6:.1f}MB "
+        f"({csx_bytes / nnz:.2f} B/nnz vs full)")
+
+    y_ref = coo_spmv(n, rows, cols, vals, x_np)
+    rel = _mixed_rel_err(y_dev, y_ref)
+    log(f"[{name}] oracle cross-check: max rel err {rel:.2e}")
+    if not rel < CHECK_TOL:
+        raise AssertionError(
+            f"[{name}] symmetric SpMV diverges from the oracle: "
+            f"rel={rel:.3e} > {CHECK_TOL:g}")
+
+    def make(k):
+        @jax.jit
+        def chained(x):
+            def body(carry, _):
+                y = mat.matvec(carry)
+                y = y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-20)
+                return y, ()
+            y, _ = jax.lax.scan(body, x, None, length=k)
+            return y
+        return lambda: chained(x)
+
+    fn1 = make(LOOPS // 4)
+    _sync(fn1())
+    per_iter = _device_time_per_iter(fn1, LOOPS // 4)
+    if per_iter is not None:
+        log(f"[{name}] timing (device trace, min of 3): "
+            f"{per_iter * 1e6:.1f} us/SpMV")
+    else:
+        per_iter, t_k1, t_k2 = _slope_time(make, LOOPS // 4, LOOPS,
+                                           OUTER_LOOPS)
+        log(f"[{name}] timing (wall slope): {per_iter * 1e6:.1f} us/SpMV")
     return {
         "nnz": nnz,
         "nnz_per_s": nnz / per_iter,
         "mflops": 2 * nnz / (1e6 * per_iter),
         "us_per_spmv": per_iter * 1e6,
         "pt_s": pt,
+        "pt_mine_s": pt_mine,
+        "check_rel_err": rel,
         "csx_bytes": csx_bytes,
-        # ideal one-pass traffic: compressed tables + x read + y write +
-        # the renormalization chain (2 extra row passes)
         "ideal_bytes": csx_bytes + 4 * n * 4,
     }
 
@@ -310,8 +579,8 @@ def bench_spmm(name, n, rows, cols, vals, k=8):
     _sync(fn())
     per_iter = _device_time_per_iter(fn, max(LOOPS // 16, 2), reps=2)
     if per_iter is None:
-        per_iter, _, _ = _slope_time(make, max(LOOPS // 16, 2),
-                                     LOOPS // 4, 3)
+        k1 = max(LOOPS // 16, 2)
+        per_iter, _, _ = _slope_time(make, k1, max(LOOPS // 4, k1 + 2), 3)
     log(f"[{name}] SpMM k={k}: {per_iter * 1e6:.1f} us -> "
         f"{nnz * k / per_iter / 1e9:.2f} Gnnz*k/s")
     return nnz * k / per_iter
@@ -346,9 +615,11 @@ def bench_spgemm(n=1 << 13, nnz_per_row=16):
     return flops / dt / 1e6
 
 
-def main():
+def run_benches():
     import jax
 
+    if _force_cpu():
+        jax.config.update("jax_platforms", "cpu")
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform}")
 
@@ -359,44 +630,101 @@ def main():
     cfg.set("spx.preproc.xform", "all")
     cfg.set("spx.preproc.sampling", "portion")
 
-    head = bench_workload("headline", N, *build_matrix(N))
-    blocky = bench_workload("blocky", N_BLOCKY, *build_blocky_matrix(N_BLOCKY))
-    spmm_rate = bench_spmm("blocky", N_BLOCKY,
-                           *build_blocky_matrix(N_BLOCKY), k=8)
-    spgemm_mflops = bench_spgemm()
+    with _Watchdog("headline"):
+        head = bench_workload("headline", N, *build_matrix(N),
+                              save_restore=True)
+    with _Watchdog("blocky"):
+        blocky = bench_workload("blocky", N_BLOCKY,
+                                *build_blocky_matrix(N_BLOCKY))
+    with _Watchdog("symmetric"):
+        sym = bench_symmetric("symmetric", N_SYM,
+                              *build_symmetric_matrix(N_SYM))
+    with _Watchdog("diagc"):
+        diagc = bench_workload("diagc", N_DIAGC,
+                               *build_diagc_matrix(N_DIAGC))
+    with _Watchdog("spmm"):
+        spmm_rate = bench_spmm("blocky", N_BLOCKY,
+                               *build_blocky_matrix(N_BLOCKY), k=8)
+    with _Watchdog("spgemm"):
+        spgemm_mflops = bench_spgemm()
 
-    bw = measure_hbm_bw()
+    with _Watchdog("hbm_bw"):
+        bw = measure_hbm_bw()
 
     def sol_frac(w):
         return w["nnz_per_s"] / (w["nnz"] / (w["ideal_bytes"] / bw))
 
     frac = sol_frac(head)
     bfrac = sol_frac(blocky)
+    sfrac = sol_frac(sym)
+    dfrac = sol_frac(diagc)
     log(f"measured HBM BW (triad): {bw / 1e9:.0f} GB/s")
-    log(f"headline: {head['nnz_per_s'] / 1e9:.2f} Gnnz/s "
+    log(f"headline:  {head['nnz_per_s'] / 1e9:.2f} Gnnz/s "
         f"({head['mflops']:.0f} MFLOPS) -> {100 * frac:.1f}% of HBM SoL")
-    log(f"blocky:   {blocky['nnz_per_s'] / 1e9:.2f} Gnnz/s "
+    log(f"blocky:    {blocky['nnz_per_s'] / 1e9:.2f} Gnnz/s "
         f"({blocky['mflops']:.0f} MFLOPS) -> {100 * bfrac:.1f}% of its SoL")
+    log(f"symmetric: {sym['nnz_per_s'] / 1e9:.2f} Gnnz/s "
+        f"({sym['mflops']:.0f} MFLOPS) -> {100 * sfrac:.1f}% of its SoL")
+    log(f"diagc:     {diagc['nnz_per_s'] / 1e9:.2f} Gnnz/s "
+        f"({diagc['mflops']:.0f} MFLOPS) -> {100 * dfrac:.1f}% of its SoL")
 
-    print(json.dumps({
-        "metric": "csx_spmv_nnz_per_s",
-        "value": head["nnz_per_s"],
-        "unit": "nnz/s",
-        # BASELINE.md: >= 85% of HBM-only speed-of-light nnz/s
-        "vs_baseline": frac / 0.85,
-        "extra": {
-            "headline_us_per_spmv": head["us_per_spmv"],
-            "headline_pt_s": head["pt_s"],
-            "headline_hbm_sol_frac": frac,
-            "blocky_nnz_per_s": blocky["nnz_per_s"],
-            "blocky_us_per_spmv": blocky["us_per_spmv"],
-            "blocky_pt_s": blocky["pt_s"],
-            "blocky_hbm_sol_frac": bfrac,
-            "spmm_k8_nnzk_per_s": spmm_rate,
-            "spgemm_mflops": spgemm_mflops,
-            "hbm_bw_gbps": bw / 1e9,
-        },
-    }))
+    emit(head["nnz_per_s"],
+         # BASELINE.md: >= 85% of HBM-only speed-of-light nnz/s
+         frac / 0.85,
+         {
+             "headline_us_per_spmv": head["us_per_spmv"],
+             "headline_pt_s": head["pt_s"],
+             "headline_pt_mine_s": head["pt_mine_s"],
+             "headline_pt_plan_s": head["pt_plan_s"],
+             "headline_restore_pt_s": head.get("restore_pt_s"),
+             "headline_hbm_sol_frac": frac,
+             "headline_check_rel_err": head["check_rel_err"],
+             "blocky_nnz_per_s": blocky["nnz_per_s"],
+             "blocky_us_per_spmv": blocky["us_per_spmv"],
+             "blocky_pt_s": blocky["pt_s"],
+             "blocky_hbm_sol_frac": bfrac,
+             "blocky_check_rel_err": blocky["check_rel_err"],
+             "symmetric_nnz_per_s": sym["nnz_per_s"],
+             "symmetric_us_per_spmv": sym["us_per_spmv"],
+             "symmetric_pt_s": sym["pt_s"],
+             "symmetric_hbm_sol_frac": sfrac,
+             "symmetric_check_rel_err": sym["check_rel_err"],
+             "diagc_nnz_per_s": diagc["nnz_per_s"],
+             "diagc_us_per_spmv": diagc["us_per_spmv"],
+             "diagc_hbm_sol_frac": dfrac,
+             "diagc_check_rel_err": diagc["check_rel_err"],
+             "spmm_k8_nnzk_per_s": spmm_rate,
+             "spgemm_mflops": spgemm_mflops,
+             "hbm_bw_gbps": bw / 1e9,
+         })
+
+
+def _is_hardware_error(exc) -> bool:
+    s = f"{type(exc).__name__}: {exc}"
+    return any(k in s for k in ("UNAVAILABLE", "Unavailable",
+                                "DEADLINE", "DeadlineExceeded",
+                                "INTERNAL: Failed to connect",
+                                "socket closed", "connection reset"))
+
+
+def main():
+    try:
+        probe_backend()
+        run_benches()
+    except HardwareUnavailable as e:
+        log(f"HARDWARE UNAVAILABLE: {e}")
+        emit(0.0, 0.0, {"error": "tpu_unavailable",
+                        "detail": str(e)[-800:]})
+        sys.exit(0)   # structured record instead of an rc=1 traceback
+    except Exception as e:  # noqa: BLE001 - classify then re-raise
+        if _is_hardware_error(e):
+            log(f"HARDWARE ERROR mid-bench: {e}")
+            emit(0.0, 0.0, {"error": "tpu_unavailable_midrun",
+                            "detail": str(e)[-800:]})
+            sys.exit(0)
+        emit(0.0, 0.0, {"error": "bench_exception",
+                        "detail": f"{type(e).__name__}: {e}"[-800:]})
+        raise
 
 
 if __name__ == "__main__":

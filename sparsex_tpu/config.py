@@ -67,6 +67,8 @@ _VALIDATORS: Dict[str, Callable[[str], object]] = {
                                  "halo": "halo"}[str(s)],
     "spx.tpu.use_pallas": lambda s: {"auto": "auto", "on": "on",
                                      "off": "off"}[str(s)],
+    "spx.tpu.sym_full": lambda s: {"auto": "auto", "on": "on",
+                                   "off": "off"}[str(s)],
     "spx.log.file": str,
     "spx.log.level": lambda s: {"error": "error", "warning": "warning",
                                 "info": "info", "verbose": "verbose",
@@ -103,6 +105,7 @@ def _default_properties() -> Dict[str, str]:
         "spx.tpu.dia_min_fill": "0.01",
         "spx.tpu.x_mode": "auto",
         "spx.tpu.use_pallas": "auto",
+        "spx.tpu.sym_full": "auto",
         "spx.log.file": "",
         "spx.log.level": "warning",
     }
@@ -235,6 +238,13 @@ class Config:
     @property
     def use_pallas(self) -> str:
         return self._typed("spx.tpu.use_pallas")
+
+    @property
+    def sym_full(self) -> str:
+        """Symmetric full-expansion executor: "auto" enables it whenever
+        the Pallas page/route layouts are active (TPU f32), "on" forces it
+        (CPU tests), "off" keeps the per-shard lower-triangle kernels."""
+        return self._typed("spx.tpu.sym_full")
 
     def _apply_log_level(self) -> None:
         handler = LoggingHandler.instance()

@@ -492,9 +492,17 @@ class CsxExecutor:
         # DIA tables ride the shared K3 whenever ANY fused segment exists
         # (delta pipeline or a unit table's routed partials)
         k3dias_entry = None
+
+        def _seg_fused(e):
+            # a segment enqueues into the shared K3 when it carries either
+            # a routed-partial scatter ("fs" at e[4]) or a fully fused
+            # run/block pipeline ("frun"/"fblk" at e[5])
+            return ((len(e) > 4 and e[4] and e[4][0] == "fs")
+                    or (len(e) > 5 and e[5]
+                        and e[5][0] in ("frun", "fblk")))
+
         any_fs = (dfused_entry is not None
-                  or any(len(e) > 4 and e[4] and e[4][0] == "fs"
-                         for e in run_meta + block_meta))
+                  or any(_seg_fused(e) for e in run_meta + block_meta))
         if any_fs and self.meta[4]:
             from sparsex_tpu.ops.fused import pad_dias_for_k3
             dia_offs, dv, anti_offs, adv = pad_dias_for_k3(
@@ -608,8 +616,13 @@ class CsxExecutor:
         # their own G1 at runtime (overlapping folds, see merged_e1s);
         # run/delta kernels then emit RAW grids.  Identity wires on a
         # padded tile read its zeros, so padding stays exact.
+        # All per-segment mutations are STAGED and applied only after the
+        # whole merge succeeds: an exception mid-loop (caught by the
+        # caller, which keeps the per-segment plans) must not leave a
+        # segment kernel holding identity G1 wires (ADVICE r3).
         ident = np.broadcast_to(np.arange(128, dtype=np.int32),
                                 (8, 128)).astype(np.int32)
+        staged_mg = []   # (target_dict, new_mg) applied on success
         res_pos = marrays.pop("res_pos", None)
         res_dest = marrays.pop("res_dest", None)
         res_desc = []
@@ -618,11 +631,13 @@ class CsxExecutor:
             if kind == "delta":
                 f = arrays["fused"]
                 low = np.asarray(f["mg"]) & 0x3FFF
-                f["mg"] = (low | ((ident + 1) << 16)).astype(np.int32)
+                staged_mg.append(
+                    (f, (low | ((ident + 1) << 16)).astype(np.int32)))
             elif kind == "run":
                 fr = run_arrays[ids[0]]["frun"]
                 low = np.asarray(fr["mg"]) & 0x3FFF
-                fr["mg"] = (low | ((ident + 1) << 16)).astype(np.int32)
+                staged_mg.append(
+                    (fr, (low | ((ident + 1) << 16)).astype(np.int32)))
             if res_pos is not None and res_pos.size:
                 m = (res_pos >= b0 * 128) & (res_pos < b1 * 128)
                 if not m.any():
@@ -652,7 +667,10 @@ class CsxExecutor:
                     marrays[f"bres_{bi}_{r}_pos"] = lp_.astype(np.int32)
                     marrays[f"bres_{bi}_{r}_dest"] = dd
                     res_desc.append(("bres", bi, r))
-        # per-segment instance arrays are dead once merged
+        # merge fully planned: NOW apply the staged mg repacks and drop
+        # the (dead) per-segment instance arrays
+        for tgt, new_mg in staged_mg:
+            tgt["mg"] = new_mg
         if any(k == "delta" for k, *_ in seg_desc):
             f = arrays["fused"]
             for i in range(len(dfused_entry[1][3])):

@@ -92,6 +92,187 @@ class SymShard:
     dvalues: np.ndarray  # diagonal values for the shard's rows
 
 
+def mirror_full_tables(shards: List[CsxTables],
+                       dvalues: List[np.ndarray],
+                       nrows: int, ncols: int) -> CsxTables:
+    """Full-matrix execution tables mirrored from the lower-triangle shards.
+
+    The reference reads each lower-triangle value once and applies it
+    twice, buying the halved traffic at the price of a second scatter per
+    unit (``csx_sym_spmv_tmpl.c:62-105``) — cheap on a sequential CPU walk,
+    but scatters are THE expensive op on TPU (~6.6 ns/el serialized).  The
+    TPU-native trade is the opposite: mirror every table at build time so
+    the symmetric SpMV runs the same fused one-write pipeline as the
+    unsymmetric case (build-time-known scatters ride the routing network).
+    Storage/persist stay lower-triangle (``csx_size``, ``save_csx``); only
+    the device working set is expanded.
+
+    Structure is preserved under the mirror — each pattern maps onto
+    another first-class pattern, so no encoding information is lost:
+      horizontal run    -> vertical run   (same delta, same values)
+      vertical run      -> horizontal run
+      diagonal run      -> diagonal run   (head swapped)
+      anti-diag run     -> anti-diag run  (re-anchored, values reversed)
+      (br, bc) block    -> (bc, br) block (values transposed)
+      DIA offset o      -> DIA offset -o  (values shifted by o)
+      anti-DIA s        -> anti-DIA s     (values reversed around s)
+      main diagonal     -> DIA offset 0
+    """
+    from sparsex_tpu.preprocess.encodings import EncType
+    from sparsex_tpu.preprocess.tables import (BlockTable, DeltaTable,
+                                               DiagTable, RunTable)
+
+    val_dtype = None
+    dr_l, dc_l, dv_l = [], [], []          # delta triples (dest, col, val)
+    runs_acc: dict = {}                     # (enc, delta, width) -> lists
+    blocks_acc: dict = {}                   # (br, bc) -> (enc, lists)
+    dia_acc: dict = {}                      # (anti, offset) -> dense vec
+    dia_cnt = {False: 0, True: 0}
+
+    def _dia_add(anti: bool, off: int, lo: int, vec: np.ndarray):
+        # clip to [0, nrows): out-of-range positions hold only the zeros
+        # the encoder guarantees outside the matrix (a stored element's
+        # column is always in range, and placement index = that column)
+        a, b = max(0, -lo), min(vec.size, nrows - lo)
+        if b <= a or not np.any(vec[a:b]):
+            return
+        dst = dia_acc.get((anti, int(off)))
+        if dst is None:
+            dst = dia_acc[(anti, int(off))] = np.zeros(
+                nrows, dtype=vec.dtype)
+        dst[lo + a: lo + b] += vec[a:b]
+        dia_cnt[anti] += int(np.count_nonzero(vec[a:b]))
+
+    for tables in shards:
+        r0 = tables.row_start
+        d = tables.delta
+        if d is not None and d.nnz:
+            val_dtype = d.vals.dtype
+            rg = np.asarray(d.row_ids, dtype=np.int64) + r0
+            c = np.asarray(d.cols, dtype=np.int64)
+            dr_l += [rg, c]
+            dc_l += [c, rg]
+            dv_l += [d.vals, d.vals]
+        for t in tables.runs:
+            val_dtype = t.vals.dtype
+            rg = np.asarray(t.rows, dtype=np.int64) + r0
+            c = np.asarray(t.cols, dtype=np.int64)
+            W = t.width
+            key = (t.enc, t.delta, W)
+            runs_acc.setdefault(key, []).append((rg, c, t.sizes, t.vals))
+            if t.enc == EncType.HORIZONTAL:
+                tkey = (EncType.VERTICAL, t.delta, W)
+                runs_acc.setdefault(tkey, []).append((c, rg, t.sizes,
+                                                      t.vals))
+            elif t.enc == EncType.VERTICAL:
+                tkey = (EncType.HORIZONTAL, t.delta, W)
+                runs_acc.setdefault(tkey, []).append((c, rg, t.sizes,
+                                                      t.vals))
+            elif t.enc == EncType.DIAGONAL:
+                runs_acc.setdefault(key, []).append((c, rg, t.sizes,
+                                                     t.vals))
+            else:  # ANTI_DIAGONAL: re-anchor at the last element and
+                #    reverse each unit's values (element j of the mirror
+                #    is element S-1-j of the original)
+                S = np.asarray(t.sizes, dtype=np.int64)
+                dlt = t.delta
+                hr = c - (S - 1) * dlt
+                hc = rg + (S - 1) * dlt
+                idx = S[:, None] - 1 - np.arange(W, dtype=np.int64)[None]
+                vrev = np.where(idx >= 0,
+                                np.take_along_axis(
+                                    t.vals, np.maximum(idx, 0), axis=1),
+                                np.zeros((), t.vals.dtype))
+                runs_acc.setdefault(key, []).append((hr, hc, t.sizes,
+                                                     vrev))
+        for t in tables.blocks:
+            val_dtype = t.vals.dtype
+            rg = np.asarray(t.rows, dtype=np.int64) + r0
+            c = np.asarray(t.cols, dtype=np.int64)
+            blocks_acc.setdefault((t.br, t.bc), [t.enc, []])[1].append(
+                (rg, c, t.vals))
+            blocks_acc.setdefault((t.bc, t.br), [t.enc, []])[1].append(
+                (c, rg, np.ascontiguousarray(t.vals.transpose(0, 2, 1))))
+        for t in tables.dias:
+            val_dtype = t.vals.dtype
+            np_ = tables.nrows
+            for k, o in enumerate(t.offsets):
+                o = int(o)
+                if not t.anti:
+                    og = o - r0          # global offset col - row
+                    _dia_add(False, og, r0, t.vals[k])
+                    # transposed: z[r+og] += dv[r]*x[r]  ->  offset -og
+                    # with values shifted to global rows r+og
+                    _dia_add(False, -og, r0 + og, t.vals[k])
+                else:
+                    sg = o + r0          # global anti index row + col
+                    _dia_add(True, sg, r0, t.vals[k])
+                    # transposed: z[sg-r] += av[r]*x[r] -> same sg,
+                    # values reversed onto rows sg-r
+                    _dia_add(True, sg, sg - (r0 + np_ - 1),
+                             t.vals[k][::-1])
+    # main diagonal -> DIA offset 0
+    for tables, dv in zip(shards, dvalues):
+        if np.any(dv):
+            val_dtype = val_dtype if val_dtype is not None else dv.dtype
+            _dia_add(False, 0, tables.row_start,
+                     np.asarray(dv, dtype=val_dtype
+                                if val_dtype is not None else dv.dtype))
+
+    if val_dtype is None:
+        val_dtype = np.float64
+    index_dtype = shards[0].delta.cols.dtype if shards[0].delta \
+        else np.int32
+
+    # --- delta table (sorted by (row, col)) ---
+    delta = None
+    total_d = 0
+    if dr_l:
+        dr = np.concatenate(dr_l)
+        dc = np.concatenate(dc_l)
+        dv = np.concatenate(dv_l)
+        order = np.lexsort((dc, dr))
+        dr, dc, dv = dr[order], dc[order], dv[order]
+        rowptr = np.zeros(nrows + 1, dtype=np.int64)
+        np.cumsum(np.bincount(dr, minlength=nrows), out=rowptr[1:])
+        delta = DeltaTable(rowptr=rowptr,
+                           cols=dc.astype(index_dtype),
+                           vals=dv.astype(val_dtype),
+                           row_ids=dr.astype(index_dtype))
+        total_d = dr.size
+
+    runs = []
+    for (enc, dlt, W), parts in sorted(runs_acc.items()):
+        runs.append(RunTable(
+            enc=enc, delta=int(dlt),
+            rows=np.concatenate([p[0] for p in parts]).astype(index_dtype),
+            cols=np.concatenate([p[1] for p in parts]).astype(index_dtype),
+            sizes=np.concatenate([p[2] for p in parts]).astype(index_dtype),
+            vals=np.concatenate([p[3] for p in parts]).astype(val_dtype)))
+    blocks = []
+    for (br, bc), (enc, parts) in sorted(blocks_acc.items()):
+        blocks.append(BlockTable(
+            enc=enc,
+            rows=np.concatenate([p[0] for p in parts]).astype(index_dtype),
+            cols=np.concatenate([p[1] for p in parts]).astype(index_dtype),
+            vals=np.concatenate([p[2] for p in parts]).astype(val_dtype)))
+    dias = []
+    for anti in (False, True):
+        offs = sorted(o for (a, o) in dia_acc if a == anti)
+        if offs:
+            vals = np.stack([dia_acc[(anti, o)] for o in offs])
+            dias.append(DiagTable(
+                anti=anti,
+                offsets=np.asarray(offs, dtype=np.int64),
+                vals=vals.astype(val_dtype), mask=None,
+                nnz_count=dia_cnt[anti]))
+    nnz_full = (total_d + sum(t.nnz for t in runs)
+                + sum(t.nnz for t in blocks) + sum(t.nnz for t in dias))
+    return CsxTables(nrows=nrows, ncols=ncols, nnz=int(nnz_full),
+                     row_start=0, delta=delta, runs=runs, blocks=blocks,
+                     dias=dias)
+
+
 class SymCsxMatrix(CsxMatrix):
     """Symmetric tuned matrix: lower triangle + diagonal per shard."""
 
@@ -99,6 +280,31 @@ class SymCsxMatrix(CsxMatrix):
         super().__init__(nrows=nrows, ncols=ncols, nnz=nnz, symmetric=True,
                          **kw)
         self.dvalues: List[np.ndarray] = []
+        self._full_exec: Optional[CsxExecutor] = None
+
+    def _full_active(self) -> bool:
+        """Whether SpMV runs on the mirrored full-expansion executor (the
+        fused K1/K2/K3 path).  "auto" follows the Pallas gate — on TPU the
+        fused one-write pipeline beats the per-shard z-scatter kernels by
+        a wide margin; off-TPU the legacy per-shard path is kept (it is
+        the reference-shaped formulation and halves the working set)."""
+        mode = Config.instance().sym_full
+        if mode == "off":
+            return False
+        if mode == "on":
+            return True
+        from sparsex_tpu.ops.exec import _pallas_mode
+        from sparsex_tpu.ops.pallas_kernels import dia_pallas_ok
+        return _pallas_mode() is not False and dia_pallas_ok()
+
+    def _full_executor(self) -> CsxExecutor:
+        if self._full_exec is None:
+            ft = mirror_full_tables(self.shards, self.dvalues,
+                                    self.nrows, self.ncols)
+            log_info("sym full-expansion tables: nnz=%d sig=%s",
+                     ft.nnz, ft.signature())
+            self._full_exec = CsxExecutor(ft)
+        return self._full_exec
 
     def _build_sym_arrays(self) -> None:
         """Per-shard (meta, arrays) variants: ``_sym_plain`` always, and
@@ -178,6 +384,10 @@ class SymCsxMatrix(CsxMatrix):
         if x.shape[0] != self.ncols:
             seterror(ErrorCode.SPX_ERR_VEC_DIM,
                      f"x has {x.shape[0]} entries, expected {self.ncols}")
+        if self._full_active():
+            # mirrored full-expansion tables -> the fused one-write
+            # pipeline (see mirror_full_tables); covers SpMV and SpMM
+            return self._full_executor()(x, alpha=alpha, beta=beta, y=y)
         y_parts = []
         zshape = (self.nrows if x.ndim == 1
                   else (self.nrows, x.shape[1]))
@@ -255,6 +465,7 @@ class SymCsxMatrix(CsxMatrix):
         return super().get_entry(row, col)
 
     def set_entry(self, row: int, col: int, value: float) -> None:
+        self._full_exec = None   # mirrored copies go stale on any write
         if col > row:
             row, col = col, row
         if row == col:

@@ -173,6 +173,9 @@ def test_symmetric_paged_delta_interpret(monkeypatch):
     cfg = Config.instance()
     cfg.set("spx.tpu.value_dtype", "float32")
     cfg.set("spx.preproc.xform", "none")
+    # this test covers the LEGACY per-shard paged path; sym_full=auto
+    # would route to the mirrored full-expansion executor instead
+    cfg.set("spx.tpu.sym_full", "off")
     n = 2048
     rng = np.random.default_rng(0)
     r = rng.integers(0, n, 3000)
