@@ -19,6 +19,7 @@ runs and stays numerically correct at every N.
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -60,6 +61,9 @@ def main():
     ap.add_argument("--cpu", action="store_true", default=None,
                     help="force the virtual CPU mesh (default when fewer "
                          "real devices than requested)")
+    ap.add_argument("--json", default="",
+                    help="write structured results to this path (round "
+                         "artifact, e.g. WEAKSCALE_r04.json)")
     args = ap.parse_args()
 
     # The platform must be decided BEFORE the first backend-initializing
@@ -106,8 +110,20 @@ def main():
         else:
             mesh = Mesh(np.array(devs), ("shards",))
             sh = ShardedCsx(mat, mesh=mesh)
-        x = jnp.asarray(np.random.default_rng(1).standard_normal(n),
-                        dtype=jnp.float32)
+        x_np = np.random.default_rng(1).standard_normal(n).astype(
+            np.float32)
+        x = jnp.asarray(x_np)
+
+        # correctness at every N vs the COO oracle (f32 sum-order tol)
+        from sparsex_tpu.ops.oracle import coo_spmv
+        y = np.asarray(sh.matvec(x), dtype=np.float64)
+        y_ref = coo_spmv(n, rows, cols, vals, x_np)
+        scale = 1e-3 * float(np.max(np.abs(y_ref))) + 1e-30
+        rel = float(np.max(np.abs(y - y_ref) / (np.abs(y_ref) + scale)))
+        if not rel < 2e-4:
+            print(f"ERROR: devices={nd} rel err {rel:.3e}",
+                  file=sys.stderr)
+            return 1
 
         @jax.jit
         def chained(arrays, x, k=args.loops):
@@ -122,14 +138,36 @@ def main():
         t0 = time.perf_counter()
         float(np.asarray(chained(sh.arrays, x))[0])
         dt = (time.perf_counter() - t0) / args.loops
-        results.append((nd, mat.nnz, dt, sh.x_mode))
+        results.append((nd, mat.nnz, dt, sh.x_mode, rel))
         print(f"devices={nd:2d} nnz={mat.nnz:>9d} x_mode={sh.x_mode:10s} "
-              f"{dt * 1e6:9.1f} us/SpMV")
+              f"{dt * 1e6:9.1f} us/SpMV rel={rel:.1e}")
 
     t1 = results[0][2]
-    for nd, nnz, dt, mode in results[1:]:
+    for nd, nnz, dt, mode, _rel in results[1:]:
         eff = t1 / dt
         print(f"weak-scaling efficiency @ {nd} devices: {100 * eff:.0f}%")
+
+    if args.json:
+        import jax as _jax
+        plat = _jax.devices()[0].platform
+        out = {
+            "platform": plat,
+            "note": ("virtual CPU mesh: validates sharded build/run/"
+                     "numerics; efficiency is NOT TPU performance "
+                     "(single-core host serializes the devices)"
+                     if plat == "cpu" else "real devices"),
+            "mode": args.mode,
+            "base_n": args.base_n,
+            "points": [
+                {"devices": nd, "nnz": int(nnz), "us_per_spmv": dt * 1e6,
+                 "x_mode": mode, "rel_err": rel,
+                 "efficiency_vs_1dev": results[0][2] / dt}
+                for nd, nnz, dt, mode, rel in results
+            ],
+        }
+        with open(args.json, "w") as fp:
+            json.dump(out, fp, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":
