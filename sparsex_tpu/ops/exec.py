@@ -56,23 +56,49 @@ def _compiled(meta: Tuple, dtype_str: str, use_pallas: bool = False,
     return jax.jit(fn)
 
 
+MM_FUSED_KB = 8    # columns per k-batched kernel sweep (VMEM-bounded)
+
+
 @functools.lru_cache(maxsize=64)
 def _compiled_mm(meta: Tuple, dtype_str: str, use_pallas: bool,
                  apply_alpha: bool, slab_dias: bool):
-    """SpMM column-loop program (cached per signature: rebuilding the
-    jit wrapper per call would RETRACE on every matmat).
+    """SpMM program (cached per signature: rebuilding the jit wrapper
+    per call would RETRACE on every matmat).
 
-    Runs the fused/routed SpMV once per column under ``lax.map``
-    (measured: (row, k)-slice gathers still cost per element, so the
-    column loop wins for moderate k) with the per-column epilogue
-    elided, then adds the DIA tables as ONE (rows, k) slab pass — the
-    dv grids are read once instead of once per column.
+    Fused-k path (when :func:`kernels.fused_mm_ok`): the k-batched
+    K1/T1/K2/K3 pipeline reads every metadata stream ONCE for up to
+    ``MM_FUSED_KB`` columns (larger k sweeps in chunks) — closing
+    VERDICT r3 #3 (the column loop re-read mg/g2*/g3/plo/dv k times,
+    k=8 = 8.4 SpMV-equivalents).
+
+    Legacy path: the fused/routed SpMV once per column under
+    ``lax.map`` (measured: (row, k)-slice gathers still cost per
+    element) with the per-column epilogue elided, then the DIA tables
+    as ONE (rows, k) slab pass.
     """
     import jax
     import jax.numpy as jnp
 
     nrows, ncols = meta[0], meta[1]
     meta_dias = meta[4]
+
+    from sparsex_tpu.ops.kernels import fused_mm_contrib, fused_mm_ok
+    if fused_mm_ok(meta):
+        @jax.jit
+        def mm_fused(arrs, xT, a):
+            k = xT.shape[0]
+            outs = []
+            for c0 in range(0, k, MM_FUSED_KB):
+                outs.append(fused_mm_contrib(
+                    meta, arrs, xT[c0: c0 + MM_FUSED_KB],
+                    nrows_part=nrows, ncols=ncols))
+            out = (jnp.concatenate(outs, axis=0) if len(outs) > 1
+                   else outs[0])
+            return a * out if apply_alpha else out   # (k, nrows)
+
+        # the final (k, nrows) -> (nrows, k) transpose dispatches
+        # STANDALONE (12.7us vs 1100us fused, r3 measurement)
+        return lambda arrs, xT, a: mm_fused(arrs, xT, a).T
     fn = _compiled(meta, dtype_str, use_pallas,
                    apply_alpha=False, apply_beta=False,
                    skip_dias=slab_dias)

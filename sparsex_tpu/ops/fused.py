@@ -578,36 +578,50 @@ def build_fused_run(cols_u: np.ndarray, rows_u: np.ndarray,
 
 
 def fused_run_a1(meta, arrays, x, ncols: int, x2=None):
-    """K1(run style) only: the run segment's (T*8, L) grid."""
+    """K1(run style) only: the run segment's (T*8, L) grid (k-major SpMM
+    input (k, ncols) yields (k, T*8, L))."""
     T, q, npages = meta[:3]
     style = meta[5]
+    kb = x.shape[0] if x.ndim == 2 else 0
     dt = str(np.dtype(x.dtype))
     x2 = _k1_x2(x, ncols, q, npages, style, x2)
-    a1_3d = _build_k1(T, q, style, dt)(arrays["plo"], arrays["mg"],
-                                       arrays["vals"], x2)
-    return a1_3d.reshape(T * 8, L)
+    a1 = _build_k1(T, q, style, dt, kb=kb)(arrays["plo"], arrays["mg"],
+                                           arrays["vals"], x2)
+    return a1.reshape(kb, T * 8, L) if kb else a1.reshape(T * 8, L)
+
+
+def _e1s_from_a1(inst, arrays, A1, dt: str, D2R: int):
+    """Per-instance T1 + K2 over slices of an A1 grid ((S, L) or k-major
+    (k, S, L)); returns the (e1, g3, K) list for :func:`k3_combine`."""
+    import jax.numpy as jnp
+
+    kb = A1.shape[0] if A1.ndim == 3 else 0
+    out = []
+    for i, (S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1) in enumerate(inst):
+        if kb:
+            Ai = A1[:, a0:a1]
+            if S1p != S1c:
+                Ai = jnp.pad(Ai, ((0, 0), (0, S1p - S1c), (0, 0)))
+        else:
+            Ai = A1[a0:a1]
+            if S1p != S1c:
+                Ai = jnp.pad(Ai, ((0, S1p - S1c), (0, 0)))
+        A1T = _build_t1(A2R, dt, kb=kb)(Ai)
+        e1 = _build_k2(A2R, W2, D2R, dt, kb=kb)(
+            A1T, arrays[f"g2a_{i}"], arrays[f"g2b_{i}"],
+            arrays[f"g2c_{i}"])
+        out.append((e1, arrays[f"g3_{i}"], K))
+    return out
 
 
 def fused_run_e1s(meta, arrays, x, ncols: int, nrows_part: int, x2=None):
     """K1(run style) + T1 + K2: (e1, g3, K) list for :func:`k3_combine`."""
-    import jax.numpy as jnp
-
     inst = meta[3]
     dt = str(np.dtype(x.dtype))
     Dq = -(-nrows_part // L)
     D2R = -(-Dq // L)
     A1 = fused_run_a1(meta, arrays, x, ncols, x2=x2)
-    out = []
-    for i, (S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1) in enumerate(inst):
-        Ai = A1[a0:a1]
-        if S1p != S1c:
-            Ai = jnp.pad(Ai, ((0, S1p - S1c), (0, 0)))
-        A1T = _build_t1(A2R, dt)(Ai)
-        e1 = _build_k2(A2R, W2, D2R, dt)(
-            A1T, arrays[f"g2a_{i}"], arrays[f"g2b_{i}"],
-            arrays[f"g2c_{i}"])
-        out.append((e1, arrays[f"g3_{i}"], K))
-    return out
+    return _e1s_from_a1(inst, arrays, A1, dt, D2R)
 
 
 def merge_segment_plan(dest_list, nrows_part: int, max_k: int = 8,
@@ -674,25 +688,32 @@ def merge_segment_plan(dest_list, nrows_part: int, max_k: int = 8,
 
 
 def merged_e1s(inst_meta, arrays, src_global, nrows_part: int):
-    """Per-instance G1 + T1 + K2 over the concatenated RAW source grid;
-    returns the (e1, g3, K) list.  G1 runs per instance because fold
-    instances overlap in source rows with independent colorings."""
+    """Per-instance G1 + T1 + K2 over the concatenated RAW source grid
+    ((S, L) or k-major (k, S, L)); returns the (e1, g3, K) list.  G1 runs
+    per instance because fold instances overlap in source rows with
+    independent colorings."""
     import jax.numpy as jnp
     from sparsex_tpu.ops.route import _build_lane_gather
 
+    kb = src_global.shape[0] if src_global.ndim == 3 else 0
     dt = str(np.dtype(src_global.dtype))
     Dq = -(-nrows_part // L)
     D2R = -(-Dq // L)
     out = []
     for i, (S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1) in enumerate(
             inst_meta):
-        Si = src_global[a0:a1]
-        if S1p != S1c:
-            Si = jnp.pad(Si, ((0, S1p - S1c), (0, 0)))
-        A1 = _build_lane_gather(S1p, 1, dt)(
+        if kb:
+            Si = src_global[:, a0:a1]
+            if S1p != S1c:
+                Si = jnp.pad(Si, ((0, 0), (0, S1p - S1c), (0, 0)))
+        else:
+            Si = src_global[a0:a1]
+            if S1p != S1c:
+                Si = jnp.pad(Si, ((0, S1p - S1c), (0, 0)))
+        A1 = _build_lane_gather(S1p, 1, dt, kb=kb)(
             Si, jnp.asarray(arrays[f"g1_{i}"])[None])
-        A1T = _build_t1(A2R, dt)(A1)
-        e1 = _build_k2(A2R, W2, D2R, dt)(
+        A1T = _build_t1(A2R, dt, kb=kb)(A1)
+        e1 = _build_k2(A2R, W2, D2R, dt, kb=kb)(
             A1T, arrays[f"g2a_{i}"], arrays[f"g2b_{i}"],
             arrays[f"g2c_{i}"])
         out.append((e1, arrays[f"g3_{i}"], K))
@@ -745,7 +766,13 @@ K1_GT = 8  # tiles per K1 grid step (amortizes per-step overhead)
 
 
 @functools.lru_cache(maxsize=64)
-def _build_k1(T: int, q: int, style: str, dtype_str: str):
+def _build_k1(T: int, q: int, style: str, dtype_str: str, kb: int = 0):
+    """``kb`` > 0: SpMM k-batch.  The grid grows a k axis as its LAST
+    (innermost) dimension and x arrives k-major (kb, npages, 8, L) — the
+    mg/vals block index maps are independent of the k coordinate, so
+    Mosaic's revisit optimization reads every metadata stream ONCE per
+    tile group instead of once per column (the whole point of the fused
+    SpMM: VERDICT r3 #2, the metadata streams were re-read k times)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -772,7 +799,7 @@ def _build_k1(T: int, q: int, style: str, dtype_str: str):
                 # 24-op lane-shuffle were most of K1's runtime)
                 pg = jax.lax.shift_right_logical(low, jnp.int32(3))
                 sr = jax.lax.bitwise_and(low, jnp.int32(7))
-                win = page_refs[t]
+                win = page_refs[t][0] if kb else page_refs[t]
                 for j in range(q8):
                     C = jnp.take_along_axis(win[j], sr, axis=0)
                     total = total + jnp.where(pg == j, C,
@@ -781,7 +808,8 @@ def _build_k1(T: int, q: int, style: str, dtype_str: str):
                 sub = jax.lax.shift_right_logical(low, jnp.int32(7))
                 lane = jax.lax.bitwise_and(low, jnp.int32(127))
                 for j in range(q):
-                    xpage = page_refs[t * q + j][0]
+                    pref = page_refs[t * q + j]
+                    xpage = pref[0, 0] if kb else pref[0]
                     for k in range(8):
                         rowk = jax.lax.broadcast_in_dim(
                             xpage[k, :], (8, L), (1,))
@@ -805,37 +833,71 @@ def _build_k1(T: int, q: int, style: str, dtype_str: str):
                     d *= 2
             g1 = jax.lax.shift_right_logical(mg, jnp.int32(16)) - 1
             g = jnp.take_along_axis(prod, jnp.maximum(g1, 0), axis=1)
-            out_ref[t] = jnp.where(g1 >= 0, g, jnp.zeros((), dtype))
+            res = jnp.where(g1 >= 0, g, jnp.zeros((), dtype))
+            if kb:
+                out_ref[0, t] = res
+            else:
+                out_ref[t] = res
 
-    tile_specs = [
-        pl.BlockSpec((GT, 8, L), lambda i, m: (i, 0, 0),
-                     memory_space=pltpu.VMEM),   # mg (packed low+g1)
-        pl.BlockSpec((GT, 8, L), lambda i, m: (i, 0, 0),
-                     memory_space=pltpu.VMEM),   # vals
-    ]
-    if is_lp:
-        # plo holds p0 (units of q8-page blocks); one block read per tile
-        page_specs = [pl.BlockSpec(
-            (q8, 8, L),
-            functools.partial(lambda i, m, t=t: (m[i * GT + t], 0, 0)),
-            memory_space=pltpu.VMEM) for t in range(GT)]
+    if kb:
+        tile_specs = [
+            pl.BlockSpec((GT, 8, L), lambda i, c, m: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # mg (packed low+g1)
+            pl.BlockSpec((GT, 8, L), lambda i, c, m: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # vals
+        ]
+        if is_lp:
+            page_specs = [pl.BlockSpec(
+                (1, q8, 8, L),
+                functools.partial(
+                    lambda i, c, m, t=t: (c, m[i * GT + t], 0, 0)),
+                memory_space=pltpu.VMEM) for t in range(GT)]
+        else:
+            page_specs = [pl.BlockSpec(
+                (1, 1, 8, L),
+                functools.partial(
+                    lambda i, c, m, t=t, j=j: (c, m[i * GT + t] + j, 0, 0)),
+                memory_space=pltpu.VMEM)
+                for t in range(GT) for j in range(q)]
+        grid = (T // GT, kb)
+        out_spec = pl.BlockSpec((1, GT, 8, L), lambda i, c, m: (c, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((kb, T, 8, L), dtype)
     else:
-        page_specs = [pl.BlockSpec(
-            (1, 8, L),
-            functools.partial(
-                lambda i, m, t=t, j=j: (m[i * GT + t] + j, 0, 0)),
-            memory_space=pltpu.VMEM) for t in range(GT) for j in range(q)]
+        tile_specs = [
+            pl.BlockSpec((GT, 8, L), lambda i, m: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # mg (packed low+g1)
+            pl.BlockSpec((GT, 8, L), lambda i, m: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # vals
+        ]
+        if is_lp:
+            # plo holds p0 (units of q8-page blocks); one block read per
+            # tile
+            page_specs = [pl.BlockSpec(
+                (q8, 8, L),
+                functools.partial(lambda i, m, t=t: (m[i * GT + t], 0, 0)),
+                memory_space=pltpu.VMEM) for t in range(GT)]
+        else:
+            page_specs = [pl.BlockSpec(
+                (1, 8, L),
+                functools.partial(
+                    lambda i, m, t=t, j=j: (m[i * GT + t] + j, 0, 0)),
+                memory_space=pltpu.VMEM)
+                for t in range(GT) for j in range(q)]
+        grid = (T // GT,)
+        out_spec = pl.BlockSpec((GT, 8, L), lambda i, m: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((T, 8, L), dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T // GT,),
+        grid=grid,
         in_specs=tile_specs + page_specs,
-        out_specs=pl.BlockSpec((GT, 8, L), lambda i, m: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
     )
     call = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, 8, L), dtype),
-        name=f"k1_product_g1_{style}")
+        out_shape=out_shape,
+        name=f"k1_product_g1_{style}" + (f"_k{kb}" if kb else ""))
 
     def fn(plo, mg, vals, x2):
         return call(plo, mg, vals, *([x2] * (GT * n_prefs)))
@@ -848,7 +910,10 @@ def _build_k1(T: int, q: int, style: str, dtype_str: str):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=128)
-def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str):
+def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str, kb: int = 0):
+    """``kb`` > 0: SpMM k-batch — grid grows an innermost k axis; the
+    g2a/g2b/g2c wire blocks are indexed by color only, so Mosaic re-reads
+    them once per color instead of once per column."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -893,9 +958,10 @@ def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str):
     GB = max(1, L // D2R8)                  # colors batched per transpose
 
     def kernel(a1t_ref, g2a_ref, g2b_ref, g2c_ref, out_ref):
+        a1t_b = a1t_ref[0] if kb else a1t_ref
         Ds = []
         for cl in range(GC):
-            B = a1t_ref[:, cl, :]           # (A2R, 128) rows asr
+            B = a1t_b[:, cl, :]             # (A2R, 128) rows asr
             C1 = mtake(B, g2a_ref[cl])      # lanes c2
             C2p = padT(C1)                  # (128, 128) rows c2, lanes asr
             D1 = mtake(C2p[:W2], g2b_ref[cl])   # (W2, 128) lanes dsr
@@ -919,8 +985,34 @@ def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str):
                     axis=1)
             for i in range(nb):
                 D2s = blkT[i * D2R8: i * D2R8 + D2R]
-                out_ref[b0 + i] = mtake(D2s, g2c_ref[b0 + i])
+                res = mtake(D2s, g2c_ref[b0 + i])
+                if kb:
+                    out_ref[0, b0 + i] = res
+                else:
+                    out_ref[b0 + i] = res
 
+    if kb:
+        in_specs = [
+            pl.BlockSpec((1, A2R, GC, L), lambda c, k_: (k_, 0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GC, A2R, L), lambda c, k_: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GC, W2, L), lambda c, k_: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GC, D2R, L), lambda c, k_: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        call = pl.pallas_call(
+            kernel,
+            grid=(L // GC, kb),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, GC, D2R, L), lambda c, k_: (k_, c, 0, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((kb, L, D2R, L), dtype),
+            name=f"k2_middle_k{kb}",
+        )
+        return call
     call = pl.pallas_call(
         kernel,
         grid=(L // GC,),
@@ -945,11 +1037,12 @@ def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str):
 
 
 @functools.lru_cache(maxsize=64)
-def _build_t1(A2R: int, dtype_str: str):
+def _build_t1(A2R: int, dtype_str: str, kb: int = 0):
     """A1 (A2R*128, L) -> (A2R, L, L) transposed-block form: block asr
     holds A1[asr*128:(asr+1)*128, :].T.  XLA's fused transpose+reshape of
     thin (S1p, 128) matrices runs at ~11 GB/s (measured r3); this kernel
-    writes contiguous (1, L, L) blocks at bandwidth."""
+    writes contiguous (1, L, L) blocks at bandwidth.  ``kb`` > 0: SpMM
+    k-batch with a leading k axis on both sides."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -961,9 +1054,27 @@ def _build_t1(A2R: int, dtype_str: str):
     G = next(b for b in (8, 4, 2, 1) if A2R % b == 0)
 
     def kernel(x_ref, o_ref):
+        xb = x_ref[0] if kb else x_ref
         for j in range(G):
-            o_ref[j] = x_ref[j * L:(j + 1) * L, :].T
+            res = xb[j * L:(j + 1) * L, :].T
+            if kb:
+                o_ref[0, j] = res
+            else:
+                o_ref[j] = res
 
+    if kb:
+        return pl.pallas_call(
+            kernel,
+            grid=(A2R // G, kb),
+            in_specs=[pl.BlockSpec((1, G * L, L),
+                                   lambda i, c: (c, i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, G, L, L),
+                                   lambda i, c: (c, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((kb, A2R, L, L), dtype),
+            name=f"t1_blocks_k{kb}",
+        )
     return pl.pallas_call(
         kernel,
         grid=(A2R // G,),
@@ -984,7 +1095,7 @@ def _build_t1(A2R: int, dtype_str: str):
 def _build_k3(D2R: int, inst_ks: Tuple[int, ...],
               dia_offsets: Tuple[int, ...],
               anti_offsets: Tuple[int, ...],
-              nb_x: int, nb_xr: int, dtype_str: str):
+              nb_x: int, nb_xr: int, dtype_str: str, kb: int = 0):
     """One grid step = one 128-page destination block (TILE3 y rows).
 
     Inputs (in order): for each instance i: E1_i (L, D2R, L) and
@@ -992,6 +1103,11 @@ def _build_k3(D2R: int, inst_ks: Tuple[int, ...],
     twice per diagonal block-quotient; then adv/xr3 for anti tables.
     x blocks are index-clamped — garbage edge lanes are multiplied by the
     dv zeros the encoder guarantees outside the matrix (``DiagTable``).
+
+    ``kb`` > 0: SpMM k-batch — the grid grows an innermost k axis; the
+    g3 wire blocks and the dv/adv value grids are indexed by the dest
+    block only, so they are read ONCE per block instead of once per
+    column (dv is the dominant stream on DIA-heavy matrices).
     """
     import jax
     import jax.numpy as jnp
@@ -1052,7 +1168,8 @@ def _build_k3(D2R: int, inst_ks: Tuple[int, ...],
         total = jnp.zeros((L, L), dtype=dtype)
         # --- routed delta: transpose the E1 slab, K-fold lane gather ---
         for i in range(I):
-            E2blk = e1s[i][...].T              # (pages, colors)
+            e1i = e1s[i][0] if kb else e1s[i][...]
+            E2blk = e1i.T                      # (pages, colors)
             for k in range(inst_ks[i]):
                 idx = g3s[i][0, k].astype(jnp.int32)
                 g = jnp.take_along_axis(E2blk, jnp.maximum(idx, 0), axis=1)
@@ -1062,48 +1179,95 @@ def _build_k3(D2R: int, inst_ks: Tuple[int, ...],
         if dia_offsets:
             for k in range(len(dia_offsets)):
                 g = d_grp[k]
-                w = _window(xb[g][0], xb[g + 1][0], d_shift[k])
+                lo = xb[g][0, 0] if kb else xb[g][0]
+                hi = xb[g + 1][0, 0] if kb else xb[g + 1][0]
+                w = _window(lo, hi, d_shift[k])
                 total = total + dv_ref[0, k] * w
         if anti_offsets:
             for k in range(len(anti_offsets)):
                 g = a_grp[k]
-                w = _window(xrb[g][0], xrb[g + 1][0], a_shift[k])
+                lo = xrb[g][0, 0] if kb else xrb[g][0]
+                hi = xrb[g + 1][0, 0] if kb else xrb[g + 1][0]
+                w = _window(lo, hi, a_shift[k])
                 total = total + adv_ref[0, k] * w
-        out_ref[0] = total
+        if kb:
+            out_ref[0, 0] = total
+        else:
+            out_ref[0] = total
+
+    # with kb the grid is (D2R, kb) — index maps take (i_, c); the wire
+    # (g3) and value (dv/adv) blocks ignore c, so the innermost-k order
+    # reuses them across columns
+    def _m(f):
+        """Lift a 1-arg index map to the kb grid arity."""
+        return (lambda i_, c: f(i_)) if kb else f
 
     in_specs = []
     for i, K in enumerate(inst_ks):
-        # E1 arrives reshaped (L, D2R*L): a (128, 128) column block per
-        # dest-page step (a (L, 1, L) block of the 3-D form would break
-        # Mosaic's block-shape divisibility rule on the middle dim)
-        in_specs.append(pl.BlockSpec((L, L), lambda i_: (0, i_),
-                                     memory_space=pltpu.VMEM))
+        # E1 arrives reshaped ([kb,] L, D2R*L): a (128, 128) column block
+        # per dest-page step (a (L, 1, L) block of the 3-D form would
+        # break Mosaic's block-shape divisibility rule on the middle dim)
+        if kb:
+            in_specs.append(pl.BlockSpec(
+                (1, L, L), lambda i_, c: (c, 0, i_),
+                memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(pl.BlockSpec((L, L), lambda i_: (0, i_),
+                                         memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec((1, K, L, L),
-                                     lambda i_: (i_, 0, 0, 0),
+                                     _m(lambda i_: (i_, 0, 0, 0)),
                                      memory_space=pltpu.VMEM))
     if dia_offsets:
         in_specs.append(pl.BlockSpec(
-            (1, len(dia_offsets), L, L), lambda i_: (i_, 0, 0, 0),
+            (1, len(dia_offsets), L, L), _m(lambda i_: (i_, 0, 0, 0)),
             memory_space=pltpu.VMEM))
         for j in range(d_nb):
-            in_specs.append(pl.BlockSpec(
-                (1, L, L),
-                functools.partial(
-                    lambda i_, qv=d_qmin + j: (
-                        jnp.clip(i_ + qv, 0, nb_x - 1), 0, 0)),
-                memory_space=pltpu.VMEM))
+            if kb:
+                in_specs.append(pl.BlockSpec(
+                    (1, 1, L, L),
+                    functools.partial(
+                        lambda i_, c, qv=d_qmin + j: (
+                            c, jnp.clip(i_ + qv, 0, nb_x - 1), 0, 0)),
+                    memory_space=pltpu.VMEM))
+            else:
+                in_specs.append(pl.BlockSpec(
+                    (1, L, L),
+                    functools.partial(
+                        lambda i_, qv=d_qmin + j: (
+                            jnp.clip(i_ + qv, 0, nb_x - 1), 0, 0)),
+                    memory_space=pltpu.VMEM))
     if anti_offsets:
         in_specs.append(pl.BlockSpec(
-            (1, len(anti_offsets), L, L), lambda i_: (i_, 0, 0, 0),
+            (1, len(anti_offsets), L, L), _m(lambda i_: (i_, 0, 0, 0)),
             memory_space=pltpu.VMEM))
         for j in range(a_nb):
-            in_specs.append(pl.BlockSpec(
-                (1, L, L),
-                functools.partial(
-                    lambda i_, qv=a_qmin + j: (
-                        jnp.clip(i_ + qv, 0, nb_xr - 1), 0, 0)),
-                memory_space=pltpu.VMEM))
+            if kb:
+                in_specs.append(pl.BlockSpec(
+                    (1, 1, L, L),
+                    functools.partial(
+                        lambda i_, c, qv=a_qmin + j: (
+                            c, jnp.clip(i_ + qv, 0, nb_xr - 1), 0, 0)),
+                    memory_space=pltpu.VMEM))
+            else:
+                in_specs.append(pl.BlockSpec(
+                    (1, L, L),
+                    functools.partial(
+                        lambda i_, qv=a_qmin + j: (
+                            jnp.clip(i_ + qv, 0, nb_xr - 1), 0, 0)),
+                    memory_space=pltpu.VMEM))
 
+    if kb:
+        call = pl.pallas_call(
+            kernel,
+            grid=(D2R, kb),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1, L, L),
+                                   lambda i_, c: (c, i_, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((kb, D2R, L, L), dtype_str),
+            name=f"k3_final_k{kb}",
+        )
+        return call
     call = pl.pallas_call(
         kernel,
         grid=(D2R,),
@@ -1118,8 +1282,18 @@ def _build_k3(D2R: int, inst_ks: Tuple[int, ...],
 
 def _to_blocks(x):
     """x (n,) -> ((nb, 128, 128) blocks, nb); zero-pads only when ragged.
-    Aligned vectors reshape for free — no pad pass."""
+    Aligned vectors reshape for free — no pad pass.  k-major SpMM input
+    (k, n) yields (k, nb, 128, 128)."""
     import jax.numpy as jnp
+    if x.ndim == 2:
+        k, n = x.shape
+        nb = max(-(-n // TILE3), 1)
+        if nb * TILE3 != n:
+            xp = jnp.zeros((k, nb * TILE3),
+                           dtype=x.dtype).at[:, :n].set(x)
+        else:
+            xp = x
+        return xp.reshape(k, nb, L, L), nb
     n = x.shape[0]
     nb = max(-(-n // TILE3), 1)
     if nb * TILE3 != n:
@@ -1132,7 +1306,8 @@ def _to_blocks(x):
 def _k1_x2(x, ncols: int, q: int, npages: int, style: str, x2):
     """The (npages, 8, L) page grid K1 reads; reuses a caller-shared
     padded grid when its shape satisfies this kernel's window rounding
-    (each private pad copy showed as ~12us of pad/copy fusions, r3)."""
+    (each private pad copy showed as ~12us of pad/copy fusions, r3).
+    k-major SpMM input (k, ncols) yields (k, npages, 8, L)."""
     import jax.numpy as jnp
 
     if style == "lp" or style.startswith("rlp"):
@@ -1143,6 +1318,17 @@ def _k1_x2(x, ncols: int, q: int, npages: int, style: str, x2):
     else:
         q8 = 1
         npages_pad = max(npages, q)
+    if x.ndim == 2:
+        k = x.shape[0]
+        if (x2 is not None and x2.ndim == 4
+                and x2.shape[1] >= npages_pad
+                and x2.shape[1] % q8 == 0):
+            return x2
+        if npages_pad * PAGE == ncols:
+            return x.reshape(k, npages_pad, 8, L)
+        return jnp.zeros((k, npages_pad * PAGE),
+                         dtype=x.dtype).at[:, :ncols].set(x).reshape(
+            k, npages_pad, 8, L)
     if (x2 is not None and x2.shape[0] >= npages_pad
             and x2.shape[0] % q8 == 0):
         return x2
@@ -1154,38 +1340,28 @@ def _k1_x2(x, ncols: int, q: int, npages: int, style: str, x2):
 
 
 def fused_delta_a1(meta, arrays, x, ncols: int, x2=None):
-    """K1 only: the delta segment's (T*8, L) routed/raw grid."""
+    """K1 only: the delta segment's (T*8, L) routed/raw grid (k-major
+    SpMM input (k, ncols) yields (k, T*8, L))."""
     T, q, npages = meta[:3]
     style = meta[6] if len(meta) > 6 else "sl"
+    kb = x.shape[0] if x.ndim == 2 else 0
     dt = str(np.dtype(x.dtype))
     x2 = _k1_x2(x, ncols, q, npages, style, x2)
-    a1_3d = _build_k1(T, q, style, dt)(arrays["plo"], arrays["mg"],
-                                       arrays["vals"], x2)
-    return a1_3d.reshape(T * 8, L)
+    a1 = _build_k1(T, q, style, dt, kb=kb)(arrays["plo"], arrays["mg"],
+                                           arrays["vals"], x2)
+    return a1.reshape(kb, T * 8, L) if kb else a1.reshape(T * 8, L)
 
 
 def fused_delta_e1s(meta, arrays, x, ncols: int, nrows_part: int,
                     x2=None):
     """K1 + T1 + K2 for the delta elements: returns the per-instance
     ``(e1, g3, K)`` list ready for :func:`k3_combine`."""
-    import jax.numpy as jnp
-
     inst = meta[3]
     dt = str(np.dtype(x.dtype))
     Dq = -(-nrows_part // L)
     D2R = -(-Dq // L)
     A1 = fused_delta_a1(meta, arrays, x, ncols, x2=x2)
-    out = []
-    for i, (S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1) in enumerate(inst):
-        Ai = A1[a0:a1]
-        if S1p != S1c:
-            Ai = jnp.pad(Ai, ((0, S1p - S1c), (0, 0)))
-        A1T = _build_t1(A2R, dt)(Ai)
-        e1 = _build_k2(A2R, W2, D2R, dt)(
-            A1T, arrays[f"g2a_{i}"], arrays[f"g2b_{i}"],
-            arrays[f"g2c_{i}"])
-        out.append((e1, arrays[f"g3_{i}"], K))
-    return out
+    return _e1s_from_a1(inst, arrays, A1, dt, D2R)
 
 
 def plan_partial_segment(dest_flat: np.ndarray, n_dest: int,
@@ -1248,23 +1424,30 @@ def plan_partial_segment(dest_flat: np.ndarray, n_dest: int,
 def partial_segment_e1s(inst_meta, arrays, partials_flat,
                         nrows_part: int):
     """Traced G1 + T1 + K2 over a flat partial stream (already padded to
-    M_pad); returns the ``(e1, g3, K)`` list for :func:`k3_combine`."""
+    M_pad; (M,) or k-major (k, M)); returns the ``(e1, g3, K)`` list for
+    :func:`k3_combine`."""
     import jax.numpy as jnp
     from sparsex_tpu.ops.route import _build_lane_gather
 
+    kb = partials_flat.shape[0] if partials_flat.ndim == 2 else 0
     dt = str(np.dtype(partials_flat.dtype))
     Dq = -(-nrows_part // L)
     D2R = -(-Dq // L)
     out = []
     for i, (S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1) in enumerate(
             inst_meta):
-        src2d = partials_flat[a0 * L: a1 * L].reshape(S1c, L)
-        A0 = (src2d if S1p == S1c
-              else jnp.pad(src2d, ((0, S1p - S1c), (0, 0))))
-        A1 = _build_lane_gather(S1p, 1, dt)(
+        if kb:
+            src2d = partials_flat[:, a0 * L: a1 * L].reshape(kb, S1c, L)
+            A0 = (src2d if S1p == S1c
+                  else jnp.pad(src2d, ((0, 0), (0, S1p - S1c), (0, 0))))
+        else:
+            src2d = partials_flat[a0 * L: a1 * L].reshape(S1c, L)
+            A0 = (src2d if S1p == S1c
+                  else jnp.pad(src2d, ((0, S1p - S1c), (0, 0))))
+        A1 = _build_lane_gather(S1p, 1, dt, kb=kb)(
             A0, jnp.asarray(arrays[f"g1_{i}"])[None])
-        A1T = _build_t1(A2R, dt)(A1)
-        e1 = _build_k2(A2R, W2, D2R, dt)(
+        A1T = _build_t1(A2R, dt, kb=kb)(A1)
+        e1 = _build_k2(A2R, W2, D2R, dt, kb=kb)(
             A1T, arrays[f"g2a_{i}"], arrays[f"g2b_{i}"],
             arrays[f"g2c_{i}"])
         out.append((e1, arrays[f"g3_{i}"], K))
@@ -1275,7 +1458,11 @@ def k3_combine(e1_g3, dia_pack, x, nrows_part: int, ncols: int):
     """One K3 over every routed instance + every DIA table: y written
     once.  ``e1_g3``: list of (e1 (L, D2R, L), g3 (D2R, K, L, L), K).
     More than MAX_INSTANCES instances split into several K3 calls (the
-    first carries the DIA tables)."""
+    first carries the DIA tables).
+
+    k-major SpMM: ``x`` (k, ncols) with e1 entries (k, L, D2R, L);
+    returns (k, nrows_part) — the g3/dv streams are read once per dest
+    block instead of once per column."""
     if len(e1_g3) > MAX_INSTANCES:
         head = k3_combine(e1_g3[:MAX_INSTANCES], dia_pack, x,
                           nrows_part, ncols)
@@ -1283,6 +1470,7 @@ def k3_combine(e1_g3, dia_pack, x, nrows_part: int, ncols: int):
                           ((), None, (), None), x, nrows_part, ncols)
         return head + tail
     dia_offsets, dv, anti_offsets, adv = dia_pack
+    kb = x.shape[0] if x.ndim == 2 else 0
     dt = str(np.dtype(x.dtype))
     Dq = -(-nrows_part // L)
     D2R = -(-Dq // L)
@@ -1291,17 +1479,19 @@ def k3_combine(e1_g3, dia_pack, x, nrows_part: int, ncols: int):
     if anti_offsets:
         # anti offset s reads x[s - r] = xr[r + o'] with o' = ncols-1-s:
         # rebase to the reversed-x frame and reuse the diagonal windows
-        xrb, nb_xr = _to_blocks(x[::-1])
+        xrb, nb_xr = _to_blocks(x[:, ::-1] if kb else x[::-1])
         anti_rebased = tuple((ncols - 1 - s) for s in anti_offsets)
     else:
         xrb, nb_xr = None, 1
         anti_rebased = ()
     inst_ks = tuple(K for _, _, K in e1_g3)
     call = _build_k3(D2R, inst_ks, dia_offsets, anti_rebased,
-                     nb_x, nb_xr, dt)
+                     nb_x, nb_xr, dt, kb=kb)
     ops = []
     for e1, g3, _K in e1_g3:
-        ops.extend([e1.reshape(L, D2R * L), g3])
+        e1r = (e1.reshape(kb, L, D2R * L) if kb
+               else e1.reshape(L, D2R * L))
+        ops.extend([e1r, g3])
     if dia_offsets:
         qs = [o // TILE3 for o in dia_offsets]
         ops.append(dv)
@@ -1311,6 +1501,11 @@ def k3_combine(e1_g3, dia_pack, x, nrows_part: int, ncols: int):
         ops.append(adv)
         ops.extend([xrb] * (max(qs) - min(qs) + 2))
     y3 = call(*ops)
+    if kb:
+        acc = y3.reshape(kb, -1)
+        if acc.shape[1] != nrows_part:
+            acc = acc[:, :nrows_part]
+        return acc
     acc = y3.reshape(-1)
     if acc.shape[0] != nrows_part:
         acc = acc[:nrows_part]

@@ -699,3 +699,181 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
                 acc = acc.at[c].add(jnp.take(a, b), mode="drop")
 
     return acc, z
+
+
+def fused_mm_ok(meta) -> bool:
+    """Whether :func:`fused_mm_contrib` covers this pages-variant meta:
+    at least one fully fused segment (the k-batched kernels exist for
+    them), and no fblk / legacy-paged-delta segments (those still run
+    the per-column path)."""
+    run_meta, block_meta = meta[2], meta[3]
+    extras = {e[0] for e in meta[5:] if e}
+    has_fused = ("dfused" in extras
+                 or any(len(e) > 5 and e[5] and e[5][0] == "frun"
+                        for e in run_meta))
+    if not has_fused:
+        return False
+    if any(len(e) > 5 and e[5] and e[5][0] == "fblk" for e in block_meta):
+        return False
+    if "dpages" in extras or "dscatter" in extras:
+        return False
+    return True
+
+
+def fused_mm_contrib(meta, arrs, xt, *, nrows_part: int, ncols: int):
+    """k-major SpMM over the fused pipeline: ``xt`` (k, ncols) ->
+    (k, nrows_part).
+
+    The SpMV composition re-run per column re-reads every metadata
+    stream (mg, g2*, g3, plo, dv) k times (VERDICT r3 #3: k=8 cost 8.4
+    SpMV-equivalents).  Here the k axis rides the Pallas grids as the
+    INNERMOST dimension — Mosaic's revisit optimization keeps each
+    metadata block in VMEM across the k steps, so the streams are read
+    once and only x/y traffic scales with k.  Residual/tail/non-fused
+    tables run k-major XLA (gathers on axis 1, batched scatter-adds).
+    Caller gate: :func:`fused_mm_ok`; reference north star BASELINE.md
+    (the reference itself stops at SpMV, ``matvec.h:39-535``)."""
+    import jax.numpy as jnp
+
+    from sparsex_tpu.ops.fused import (fused_delta_a1, fused_delta_e1s,
+                                       fused_run_a1, fused_run_e1s,
+                                       k3_combine, merged_e1s,
+                                       partial_segment_e1s)
+
+    _nr, _nc, run_meta, block_meta, dia_meta = meta[:5]
+    kdim = xt.shape[0]
+    dtype = xt.dtype
+    acc = jnp.zeros((kdim, nrows_part), dtype=dtype)
+    extras = {e[0]: e[1:] for e in meta[5:] if e}
+    dfused = extras.get("dfused")
+    k3dias = extras.get("k3dias")
+    fall = extras.get("fall")
+    k3_pending = []
+    k3_post = []
+    fall_pieces = []
+
+    def _take_xt(idx):
+        """xt gathered at clipped idx: (k,) + idx.shape."""
+        return jnp.take(xt, jnp.clip(idx, 0, ncols - 1), axis=1)
+
+    # one shared padded page grid (k, np8, 8, 128)
+    np8 = max(8, -(-(-(-ncols // 1024)) // 8) * 8)
+    if np8 * 1024 == ncols:
+        x2f = xt.reshape(kdim, np8, 8, 128)
+    else:
+        x2f = jnp.zeros((kdim, np8 * 1024),
+                        dtype=dtype).at[:, :ncols].set(xt).reshape(
+            kdim, np8, 8, 128)
+
+    if dfused is not None:
+        fmeta = dfused[0]
+        far = arrs["fused"]
+        if fall is not None:
+            fall_pieces.append(fused_delta_a1(fmeta, far, xt, ncols,
+                                              x2=x2f))
+        else:
+            k3_pending += fused_delta_e1s(fmeta, far, xt, ncols,
+                                          nrows_part, x2=x2f)
+            if fmeta[4]:
+                k3_post.append(("prod", far["res_vals"],
+                                far["res_cols"], far["res_dest"]))
+        if fmeta[5]:
+            k3_post.append(("prod", far["left_vals"], far["left_cols"],
+                            far["left_rows"]))
+
+    # --- plain delta leftovers (tables below the fused/paged minima) ---
+    d = arrs.get("delta")
+    if d is not None and d["cols"].shape[0]:
+        prod = d["vals"][None] * _take_xt(d["cols"])   # (k, n)
+        acc = acc.at[:, d["row_ids"]].add(prod, mode="drop")
+
+    # --- run tables (fused ones feed K3; the rest run k-major XLA) ---
+    for entry, t in zip(run_meta, arrs["runs"]):
+        enc_i, delta, width = entry[:3]
+        enc = EncType(enc_i)
+        sr, sc = run_step(enc)
+        lane = jnp.arange(width, dtype=jnp.int32)
+        steps = (sc * delta) * lane
+        if len(entry) > 5 and entry[5] and entry[5][0] == "frun":
+            _, fmeta_r, n_tail = entry[5]
+            fr = t["frun"]
+            if fall is not None:
+                fall_pieces.append(fused_run_a1(fmeta_r, fr, xt, ncols,
+                                                x2=x2f))
+            else:
+                k3_pending.extend(fused_run_e1s(fmeta_r, fr, xt, ncols,
+                                                nrows_part, x2=x2f))
+                if fmeta_r[4]:
+                    ridx = fr["res_cols_u"][:, None] + steps[None, :]
+                    pr = jnp.sum(fr["res_vals2d"][None] * _take_xt(ridx),
+                                 axis=2)          # (k, n_res)
+                    k3_post.append(("acc", pr, fr["res_dest"], None))
+            if n_tail:
+                tidx = t["tail_cols"][:, None] + steps[None, :]
+                pr = jnp.sum(t["tail_vals"][None] * _take_xt(tidx),
+                             axis=2)
+                k3_post.append(("acc", pr, t["tail_rows"], None))
+            continue
+        # non-fused run table: k-major XLA gather + batched scatter-add
+        gidx = t["cols"][:, None] + steps[None, :]
+        contrib = t["vals"][None] * _take_xt(gidx)     # (k, U, W)
+        if sr == 0:
+            partial = jnp.sum(contrib, axis=2)         # (k, U)
+            acc = acc.at[:, t["rows"]].add(partial, mode="drop")
+        else:
+            ridx = t["rows"][:, None] + (sr * delta) * lane[None, :]
+            flatidx = jnp.clip(ridx, 0, nrows_part - 1).ravel()
+            acc = acc.at[:, flatidx].add(contrib.reshape(kdim, -1),
+                                         mode="drop")
+
+    # --- block tables ("cvt" ones already rode the run loop) ---
+    for entry, t in zip(block_meta, arrs["blocks"]):
+        enc_i, br, bc = entry[:3]
+        if len(entry) > 5 and entry[5] and entry[5][0] == "cvt":
+            continue
+        gidx = t["cols"][:, None] + jnp.arange(bc, dtype=jnp.int32)[None]
+        xg = _take_xt(gidx)                            # (k, U, bc)
+        contrib = jnp.einsum("urc,kuc->kur", t["vals"], xg,
+                             preferred_element_type=dtype).astype(dtype)
+        ridx = (t["rows"][:, None]
+                + jnp.arange(br, dtype=jnp.int32)[None, :])
+        acc = acc.at[:, jnp.clip(ridx, 0, nrows_part - 1).ravel()].add(
+            contrib.reshape(kdim, -1), mode="drop")
+
+    # --- merged plan over the concatenated raw grids ---
+    if fall is not None and fall_pieces:
+        _segs, inst_meta_m, _bounds, res_desc = fall
+        fall_pieces = [p[:, : _bounds[i + 1] - _bounds[i]]
+                       for i, p in enumerate(fall_pieces)]
+        A1g = jnp.concatenate(fall_pieces, axis=1)
+        k3_pending += merged_e1s(inst_meta_m, arrs["fall"], A1g,
+                                 nrows_part)
+        fa = arrs["fall"]
+        for rd in res_desc:
+            if rd[0] == "dres":
+                k3_post.append(("prod", fa["dres_vals"],
+                                fa["dres_cols"], fa["dres_dest"]))
+            elif rd[0] == "rres":
+                ri = rd[1]
+                W = run_meta[ri][2]
+                _sr, _sc = run_step(EncType(run_meta[ri][0]))
+                stp = (_sc * run_meta[ri][1]) * jnp.arange(
+                    W, dtype=jnp.int32)
+                ridx = fa[f"rres_{ri}_cols"][:, None] + stp[None, :]
+                pr = jnp.sum(fa[f"rres_{ri}_vals"][None]
+                             * _take_xt(ridx), axis=2)
+                k3_post.append(("acc", pr, fa[f"rres_{ri}_dest"], None))
+            # "bres" never occurs: fused_mm_ok rejects fblk segments
+
+    if k3_pending or k3dias is not None:
+        pack = (((), None, (), None) if k3dias is None
+                else (k3dias[0], arrs.get("dias_fused_dv"), k3dias[1],
+                      arrs.get("dias_fused_adv")))
+        acc = acc + k3_combine(k3_pending, pack, xt, nrows_part, ncols)
+    for kind, a, b, c in k3_post:
+        if kind == "prod":
+            # a: (n,) vals, b: (n,) cols, c: (n,) dest
+            acc = acc.at[:, c].add(a[None] * _take_xt(b), mode="drop")
+        else:  # "acc": a (k, n) partials at rows b
+            acc = acc.at[:, b].add(a, mode="drop")
+    return acc

@@ -295,12 +295,16 @@ def apply_scatter_plan_np(metas, arrays, src: np.ndarray,
 
 
 @functools.lru_cache(maxsize=256)
-def _build_lane_gather(R: int, K: int, dtype_str: str):
+def _build_lane_gather(R: int, K: int, dtype_str: str, kb: int = 0):
     """Pallas kernel: out[r, j] = sum_k masked(x[r, idx[k, r, j]]).
 
     Each (64, 128) block is gathered lane-wise by Mosaic's per-sublane
     ``take_along_axis`` — the only vectorized gather on TPU (DESIGN.md);
     idx < 0 contributes an exact 0.
+
+    ``kb`` > 0: SpMM k-batch — x/out grow a leading k axis and the grid
+    an innermost k dimension; the idx block map ignores the k coordinate
+    so the wires are read once per row block, not once per column.
     """
     import jax
     import jax.numpy as jnp
@@ -315,14 +319,32 @@ def _build_lane_gather(R: int, K: int, dtype_str: str):
     assert R % BR == 0
 
     def kernel(x_ref, idx_ref, out_ref):
-        x = x_ref[...]
+        x = x_ref[0] if kb else x_ref[...]
         acc = jnp.zeros((BR, L), dtype=dtype)
         for k in range(K):
             idx = idx_ref[k].astype(jnp.int32)
             g = jnp.take_along_axis(x, jnp.maximum(idx, 0), axis=1)
             acc = acc + jnp.where(idx >= 0, g, jnp.zeros((), dtype))
-        out_ref[...] = acc
+        if kb:
+            out_ref[0] = acc
+        else:
+            out_ref[...] = acc
 
+    if kb:
+        return pl.pallas_call(
+            kernel,
+            grid=(R // BR, kb),
+            in_specs=[
+                pl.BlockSpec((1, BR, L), lambda i, c: (c, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, BR, L), lambda i, c: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, BR, L), lambda i, c: (c, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((kb, R, L), dtype),
+            name=f"lane_gather_k{kb}",
+        )
     return pl.pallas_call(
         kernel,
         grid=(R // BR,),

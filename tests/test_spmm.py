@@ -308,3 +308,123 @@ def test_spmm_dia_slab_hybrid(monkeypatch):
     np.add.at(ref, rows, 1.7 * vals[:, None].astype(np.float64)
               * X.astype(np.float64)[cols])
     assert np.abs(Y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def _fused_mm_matrix(n, rng, runs=False):
+    rows_l, cols_l = [], []
+    for b in (0, 3, -2):
+        r = np.arange(max(0, -b), min(n, n - b))
+        rows_l.append(r)
+        cols_l.append(r + b)
+    if runs:
+        hr = rng.integers(0, n, n // 8)
+        hc = rng.integers(0, n - 8, n // 8)
+        rows_l.append(np.repeat(hr, 8))
+        cols_l.append((hc[:, None] + np.arange(8)[None]).ravel())
+    rows_l.append(rng.integers(0, n, n))
+    cols_l.append(rng.integers(0, n, n))
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    _, u = np.unique(rows.astype(np.int64) * n + cols, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = np.random.default_rng(1).standard_normal(
+        rows.size).astype(np.float32)
+    return rows, cols, vals
+
+
+@pytest.mark.parametrize("k,runs", [(5, False), (11, True)])
+def test_spmm_fused_k_batched(monkeypatch, k, runs):
+    """The k-batched fused pipeline (VERDICT r3 #2): SpMM runs the
+    K1/T1/K2/K3 kernels with an innermost k grid axis — metadata read
+    once — and must match BOTH the oracle and the per-column SpMV
+    bit-for-bit (same kernels, same accumulation order).  k=11 covers
+    the MM_FUSED_KB chunking (8 + 3)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    import sparsex_tpu.ops.fused as fused
+    import sparsex_tpu.ops.pallas_kernels as pk
+    import sparsex_tpu.ops.route as route_mod
+    from sparsex_tpu.ops.kernels import fused_mm_ok
+
+    monkeypatch.setattr(fused, "MIN_FUSED_NNZ", 256)
+    monkeypatch.setattr(pk, "MIN_PAGE_NNZ", 64)
+    monkeypatch.setattr(route_mod, "MIN_ELEMS", 64)
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    cfg = Config.instance()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.preproc.xform", "all")
+
+    rng = np.random.default_rng(31 + k)
+    n = 8192
+    rows, cols, vals = _fused_mm_matrix(n, rng, runs=runs)
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    ex = mat.executors[0]
+    import jax.numpy as jnp
+    X = rng.standard_normal((n, k)).astype(np.float32)
+    Y0 = rng.standard_normal((n, k)).astype(np.float32)
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        assert ex._pages_active()
+        assert fused_mm_ok(ex._pages_meta), \
+            [e[0] for e in ex._pages_meta[5:] if e]
+        Y = np.asarray(ex(jnp.asarray(X)))
+        Yab = np.asarray(ex(jnp.asarray(X), alpha=1.7, beta=0.5,
+                            y=jnp.asarray(Y0)))
+        ys = np.stack([np.asarray(ex(jnp.asarray(X[:, j])))
+                       for j in range(k)], axis=1)
+    ref = np.zeros((n, k))
+    np.add.at(ref, rows, vals[:, None].astype(np.float64)
+              * X.astype(np.float64)[cols])
+    assert np.abs(Y - ref).max() / np.abs(ref).max() < 1e-5
+    # bit-exact vs the per-column fused SpMV (identical kernel chain)
+    assert np.array_equal(Y, ys)
+    refab = 1.7 * ref + 0.5 * Y0
+    assert np.abs(Yab - refab).max() / np.abs(refab).max() < 1e-5
+
+
+def test_spmm_fused_k_merged_fall(monkeypatch):
+    """k-batched SpMM over the MERGED route plan ("fall"): delta + run
+    segments share one instance set; the k-major merged_e1s path must
+    match the per-column result exactly."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    import sparsex_tpu.ops.fused as fused
+    import sparsex_tpu.ops.pallas_kernels as pk
+    import sparsex_tpu.ops.route as route_mod
+    from sparsex_tpu.ops.kernels import fused_mm_ok
+
+    monkeypatch.setattr(fused, "MIN_FUSED_NNZ", 256)
+    monkeypatch.setattr(pk, "MIN_PAGE_NNZ", 64)
+    monkeypatch.setattr(route_mod, "MIN_ELEMS", 64)
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    cfg = Config.instance()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.preproc.xform", "all")
+    cfg.set("spx.tpu.dia_min_fill", "0.9")  # keep diagonals as runs
+
+    rng = np.random.default_rng(7)
+    n = 16384
+    rows, cols, vals = _fused_mm_matrix(n, rng, runs=True)
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    ex = mat.executors[0]
+    k = 6
+    X = rng.standard_normal((n, k)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        assert ex._pages_active()
+        extras = {e[0] for e in ex._pages_meta[5:] if e}
+        assert "fall" in extras, extras
+        assert fused_mm_ok(ex._pages_meta)
+        Y = np.asarray(ex(jnp.asarray(X)))
+        ys = np.stack([np.asarray(ex(jnp.asarray(X[:, j])))
+                       for j in range(k)], axis=1)
+    ref = np.zeros((n, k))
+    np.add.at(ref, rows, vals[:, None].astype(np.float64)
+              * X.astype(np.float64)[cols])
+    assert np.abs(Y - ref).max() / np.abs(ref).max() < 1e-5
+    assert np.array_equal(Y, ys)
