@@ -23,7 +23,7 @@ from sparsex_tpu.parallel.partition import (
     RowPartition, row_counts_from_coo, split_rows_by_nnz,
 )
 from sparsex_tpu.preprocess.encoder import Encoder
-from sparsex_tpu.preprocess.mining import lexsort_rc, take1
+from sparsex_tpu.preprocess.mining import is_sorted_rc, lexsort_rc, take1
 from sparsex_tpu.preprocess.tables import CsxTables
 from sparsex_tpu.preprocess.xform import run_step
 from sparsex_tpu.timing import TimerCollection
@@ -61,9 +61,12 @@ class CsxMatrix:
         part = split_rows_by_nnz(row_counts_from_coo(rows, nrows), nparts)
         mat.partition = part
 
-        order = lexsort_rc(rows, cols)
-        rows, cols = take1(rows, order), take1(cols, order)
-        vals = take1(vals, order)
+        if not is_sorted_rc(rows, cols):
+            # MMF/CSR inputs usually arrive row-major already; the check
+            # is 2 passes vs a full radix sort + 3 random permutes
+            order = lexsort_rc(rows, cols)
+            rows, cols = take1(rows, order), take1(cols, order)
+            vals = take1(vals, order)
         bounds = np.searchsorted(rows, part.row_start + [nrows])
 
         # Per-shard encoding fans out over a thread pool, mirroring the

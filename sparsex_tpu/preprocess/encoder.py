@@ -33,8 +33,8 @@ from sparsex_tpu.config import Config
 from sparsex_tpu.logger import log_info, log_verbose
 from sparsex_tpu.preprocess.encodings import EncType, EncodingSequence
 from sparsex_tpu.preprocess.mining import (
-    BlockRuns, MiningResult, lexsort_rc, mine_blocks, mine_runs,
-    split_block_runs, take1,
+    BlockRuns, MiningResult, is_sorted_rc, lexsort_rc, mine_blocks,
+    mine_runs, split_block_runs, take1,
 )
 from sparsex_tpu.preprocess.tables import (
     BlockTable, CsxTables, DeltaTable, RunTable, pack_run_units,
@@ -65,10 +65,17 @@ class Encoder:
         self.ncols = int(ncols)
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
-        order = lexsort_rc(rows, cols)
-        self.rows = take1(rows, order)
-        self.cols = take1(cols, order)
-        self.vals = take1(np.asarray(vals), order)
+        if is_sorted_rc(rows, cols):
+            # from_coo hands over row-major-sorted shard slices — the
+            # check costs 2 passes vs a redundant radix sort + 3 permutes
+            self.rows = rows
+            self.cols = cols
+            self.vals = np.ascontiguousarray(vals)
+        else:
+            order = lexsort_rc(rows, cols)
+            self.rows = take1(rows, order)
+            self.cols = take1(cols, order)
+            self.vals = take1(np.asarray(vals), order)
         self.nnz_total = int(self.rows.size)
         self.run_tables: List[RunTable] = []
         self.block_tables: List[BlockTable] = []
@@ -101,14 +108,19 @@ class Encoder:
     def _mine(self, t: EncType, rows: np.ndarray, cols: np.ndarray,
               allowed_deltas: Optional[Sequence[int]] = None) -> MiningResult:
         trows, tcols = to_xform(t, rows, cols, self.nrows, self.ncols)
+        # identity xforms (HORIZONTAL) on still-row-major data skip the
+        # full sort + permutes; the check is 2 cheap passes
+        pre = trows.size > 4096 and is_sorted_rc(trows, tcols)
         if t.is_block:
-            return mine_blocks(trows, tcols, align=t.block_alignment)
+            return mine_blocks(trows, tcols, align=t.block_alignment,
+                               presorted=pre)
         return mine_runs(
             trows, tcols,
             min_limit=self.cfg.min_unit_size,
             max_limit=self.cfg.max_unit_size,
             allowed_deltas=(np.asarray(list(allowed_deltas))
                             if allowed_deltas is not None else None),
+            presorted=pre,
         )
 
     def gen_type_stats(self, t: EncType,
@@ -336,6 +348,8 @@ class Encoder:
         self.vals = vals_sorted[keep_pos]
 
     def _resort(self) -> None:
+        if is_sorted_rc(self.rows, self.cols):
+            return  # leftovers already row-major (e.g. HORIZONTAL last)
         order = lexsort_rc(self.rows, self.cols)
         self.rows = take1(self.rows, order)
         self.cols = take1(self.cols, order)

@@ -63,6 +63,23 @@ def lexsort_rc(rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
     return np.lexsort((cols, rows))
 
 
+def is_sorted_rc(rows: np.ndarray, cols: np.ndarray) -> bool:
+    """Whether (rows, cols) is already STRICTLY row-major sorted.
+
+    Two cheap sequential passes vs the ~10 memory passes of a full radix
+    sort + 3 permutes — the tune pipeline's inputs usually arrive sorted
+    (the MMF loader enforces it, ``from_coo`` sorts once), so every later
+    stage checks before re-sorting (measured: 2 of the 3 full-size
+    sort+permute groups on the headline bench matrix were redundant)."""
+    if rows.size < 2:
+        return True
+    dr = rows[1:] != rows[:-1]
+    up_r = rows[1:] > rows[:-1]
+    if int(np.count_nonzero(dr)) != int(np.count_nonzero(up_r)):
+        return False  # some row decreased
+    return bool(np.all(dr | (cols[1:] > cols[:-1])))
+
+
 @dataclass
 class RunUnits:
     """Pattern units found for one (type, delta) instantiation.
