@@ -359,6 +359,36 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
                               z_off=z_off)
         if symmetric:
             z = z2
+    # --- sharded fused delta: K1 (lane-placed product, raw grids) ->
+    # per-instance G1/T1/K2 -> K3, stacked with a union signature
+    # (parallel/shard.stack_fused_delta).  DIA stays on the dense
+    # dynamic-offset path — per-shard offsets are data here.
+    if "dsfused" in extras and "delta_fused" in arrs:
+        # the sharded SpMM maps 1-D columns through this path; a 2-D x
+        # here would silently drop the delta elements (emptied at stack
+        # time), so fail loudly instead
+        assert not mm, "dsfused path is 1-D; map SpMM columns"
+        from sparsex_tpu.ops.fused import (fused_delta_a1, k3_combine,
+                                           merged_e1s)
+        (T_pad, qf, npagesf, inst_meta_s, has_res_s,
+         style_s) = extras["dsfused"]
+        df = arrs["delta_fused"]
+        a1_meta = (T_pad, qf, npagesf, (), 0, 0, style_s)
+        k1_arrs = {"plo": df["plo"], "mg": df["mg"], "vals": df["vals"]}
+        A1raw = fused_delta_a1(a1_meta, k1_arrs, x, ncols)
+        flat_arrs = {}
+        for i, inst in enumerate(df["inst"]):
+            for kk in ("g1", "g2a", "g2b", "g2c", "g3"):
+                flat_arrs[f"{kk}_{i}"] = inst[kk]
+        e1s = merged_e1s(inst_meta_s, flat_arrs, A1raw, nrows_part)
+        acc = acc + k3_combine(e1s, ((), None, (), None), x,
+                               nrows_part, ncols)
+        if has_res_s:
+            acc = acc.at[df["res_dest"]].add(
+                df["res_vals"] * jnp.take(x, df["res_cols"],
+                                          mode="clip"),
+                mode="drop")
+
     page_sigs = [extras[k] for k in ("dpages", "dpagesT") if k in extras]
     page_sigs += [e[3] for e in run_meta if len(e) > 3 and e[3]]
     page_sigs += [e[3] for e in block_meta if len(e) > 3 and e[3]]

@@ -197,13 +197,14 @@ def _local_spmv(meta, tbl, x, axis_name=None, symmetric=False,
 
     kmeta = (meta["max_rows"], meta["ncols"], meta["run_keys"],
              meta["block_keys"], meta["dia_keys"])
-    for extra in ("dpages", "dscatter", "dpagesT", "dscatterT"):
+    for extra in ("dpages", "dscatter", "dpagesT", "dscatterT",
+                  "dsfused"):
         if meta.get(extra):
             kmeta = kmeta + (meta[extra],)
     arrs = {"delta": tbl["delta"], "runs": tbl["runs"],
             "blocks": tbl["blocks"], "dias": tbl["dias"]}
     for key in ("delta_pages", "delta_scatter", "delta_pages_t",
-                "delta_scatter_t", "delta_t"):
+                "delta_scatter_t", "delta_t", "delta_fused"):
         if key in tbl:
             arrs[key] = tbl[key]
     return local_contrib(
@@ -591,6 +592,289 @@ def stack_sym_delta_pages(arrays, meta, shards: List[CsxTables],
                         tag="dscatterT", n_dest=nrows_glob)
 
 
+def stack_fused_delta(arrays, meta, shards: List[CsxTables],
+                      ncols: int) -> None:
+    """Stack the FUSED delta pipeline (K1 lane-placed product -> per-
+    instance G1/T1/K2 -> shared K3) across shards with one union
+    signature — the sharded answer to VERDICT r3 #4 (the r3 speedup ran
+    single-chip only; ``stack_delta_pages`` + ``stack_scatter_plans``
+    kept the legacy products kernel + 5-gather route apply).
+
+    Uniformity: every shard lane-places (style "lp", q = SB_PAGES) or —
+    when any shard's lane fill is too skewed (per-shard element counts
+    shrink with the shard count, so this is the COMMON sharded case) —
+    every shard uses the dense-tile "sl" layout with a forced union
+    (T, q) signature.  K1 streams pad to the max tile count (dummy
+    tiles carry zero values); each shard's dest grid is route-planned
+    with ``uniform_chunks`` so chunk bounds agree, and per-slot K/W2
+    pad with masked wires exactly like :func:`stack_scatter_plans`.
+    G1 applies PER INSTANCE at runtime (fold instances may overlap; K1
+    emits RAW product grids with identity wires).  DIA tables stay on
+    the dense dynamic-offset path — per-shard offsets are data in the
+    SPMD program, so the static-offset K3 fusion cannot apply.  Any
+    shard failing any step bails ALL shards back to the legacy
+    paged/routed path (one SPMD program)."""
+    from sparsex_tpu.ops import route
+    from sparsex_tpu.ops.fused import (DELTA_TILE, K1_GT, MIN_FUSED_NNZ,
+                                       PAGE, SB_PAGES, _lane_place_layout,
+                                       pack_k1_meta)
+    from sparsex_tpu.ops.pallas_kernels import build_delta_pages
+
+    vdt0 = arrays["delta"]["vals"].dtype
+    if not _pallas_stacking_ok(vdt0):
+        return
+    max_rows = meta["max_rows"]
+    Dq = -(-max_rows // 128)
+    if -(-Dq // 128) > 128:
+        return
+    n = len(shards)
+
+    def _shard_arrays(t):
+        d = t.delta
+        cols = np.asarray(d.cols, dtype=np.int64)
+        rows = np.asarray(d.row_ids, dtype=np.int64)
+        vals = np.asarray(d.vals)
+        if vals.dtype != vdt0:
+            vals = vals.astype(vdt0)
+        return cols, rows, vals
+
+    reals = [t.delta is not None and t.delta.nnz for t in shards]
+    if not any(reals):
+        return
+    if any(r and r < MIN_FUSED_NNZ for r in reals):
+        return                          # small shard: keep legacy paths
+
+    # --- phase 1: per-shard layouts, lp for all or sl for all ---
+    # layouts: per shard None or (plo, low, vals3, dest, cap, left)
+    style = "lp"
+    layouts: List = []
+    for t in shards:
+        if not (t.delta is not None and t.delta.nnz):
+            layouts.append(None)
+            continue
+        cols, rows, vals = _shard_arrays(t)
+        fold = route._rank_within(rows // 128) // 128
+        lp = _lane_place_layout(cols, rows, vals, fold, ncols, max_rows)
+        if lp is None:
+            style = "sl"
+            break
+        (p0, low, vals3, dest, _tg, _q, npages, _left, cap) = lp
+        layouts.append((p0, low, vals3, dest, cap,
+                        np.zeros(0, dtype=np.int64)))
+    lefts = [np.zeros(0, dtype=np.int64)] * n
+    if style == "sl":
+        layouts = []
+        reps = []
+        for t in shards:
+            if not (t.delta is not None and t.delta.nnz):
+                reps.append(None)
+                continue
+            cols, rows, vals = _shard_arrays(t)
+            rep, left = build_delta_pages(
+                cols, rows, vals, ncols, max_rows,
+                sort_key=route.fold_sort_key(rows, max_rows, cols))
+            if rep is None:
+                return                  # unpageable: keep legacy paths
+            reps.append((rep, left))
+        real_reps = [rl for rl in reps if rl is not None]
+        q_max = max(r["q"] for r, _l in real_reps)
+        t_max = max(r["plo"].size for r, _l in real_reps)
+        for i, t in enumerate(shards):
+            if reps[i] is None:
+                layouts.append(None)
+                continue
+            rep, left = reps[i]
+            if rep["q"] != q_max or rep["plo"].size != t_max:
+                cols, rows, vals = _shard_arrays(t)
+                rep, left = build_delta_pages(
+                    cols, rows, vals, ncols, max_rows,
+                    q_force=q_max, t_force=t_max,
+                    sort_key=route.fold_sort_key(rows, max_rows, cols))
+                if (rep is None or rep["q"] != q_max
+                        or rep["plo"].size != t_max):
+                    log_warning(
+                        "stacked fused delta abandoned: shard %d could "
+                        "not widen to the union (T=%d q=%d); ALL shards "
+                        "keep the legacy paged delta path", i, t_max,
+                        q_max)
+                    return
+            T = rep["plo"].size
+            low = rep["sl"].reshape(T, 8, 128).astype(np.int32)
+            tile_idx = np.arange(T * DELTA_TILE) // DELTA_TILE
+            cap = (low.reshape(-1).astype(np.int64)
+                   + rep["plo"][tile_idx].astype(np.int64) * PAGE)
+            layouts.append((rep["plo"], low,
+                            rep["vals"].reshape(T, 8, 128),
+                            np.asarray(rep["rows"], dtype=np.int64),
+                            cap, np.sort(left) if left.size else left))
+        q_val = int(q_max)
+        npages = next(int(r["npages"]) for r, _l in real_reps)
+    else:
+        q_val = SB_PAGES
+        npages = int(npages)   # from the last lp above (same ncols)
+    for i, lay in enumerate(layouts):
+        if lay is not None:
+            lefts[i] = lay[5]
+
+    T_max = max(lay[0].size for lay in layouts if lay is not None)
+    T_pad = -(-T_max // K1_GT) * K1_GT
+    ident = np.broadcast_to(np.arange(128, dtype=np.int8),
+                            (8, 128)).astype(np.int8)
+    ident_g1 = np.broadcast_to(ident, (T_pad, 8, 128))
+
+    s_plo, s_mg, s_vals = [], [], []
+    plans = []
+    res_parts = []        # (res_cols, res_vals, res_dest) per shard
+    L_ = route.L
+    for si, lay in enumerate(layouts):
+        if lay is None:
+            s_plo.append(np.zeros(T_pad, dtype=np.int32))
+            s_mg.append(pack_k1_meta(
+                np.zeros((T_pad, 8, 128), dtype=np.int32), ident_g1))
+            s_vals.append(np.zeros((T_pad, 8, 128), dtype=vdt0))
+            plans.append(((), [], np.zeros(0, np.int32),
+                          np.zeros(0, np.int32)))
+            res_parts.append((np.zeros(0, np.int32), np.zeros(0, vdt0),
+                              np.zeros(0, np.int32)))
+            continue
+        p0, low, vals3, dest, cap, _left = lay
+        T = p0.size
+        if T != T_pad:
+            p0 = np.concatenate([p0, np.zeros(T_pad - T, p0.dtype)])
+            low = np.concatenate(
+                [low, np.zeros((T_pad - T, 8, 128), low.dtype)])
+            vals3 = np.concatenate(
+                [vals3, np.zeros((T_pad - T, 8, 128), vals3.dtype)])
+            dest = np.concatenate(
+                [dest, np.full((T_pad - T) * 1024, max_rows, np.int64)])
+            cap = np.concatenate(
+                [cap, np.zeros((T_pad - T) * 1024, np.int64)])
+        plan = route.build_scatter_plan(dest, max_rows, min_elems=1,
+                                        uniform_chunks=True)
+        if plan is None:
+            log_warning(
+                "stacked fused delta abandoned: shard %d has no "
+                "applicable route plan; ALL shards keep the legacy "
+                "paged delta path", si)
+            return
+        plans.append(plan)
+        s_plo.append(p0.astype(np.int32))
+        s_mg.append(pack_k1_meta(low, ident_g1))
+        s_vals.append(vals3)
+        _m, _a, res_pos, res_dest = plan
+        if res_pos.size:
+            rp = res_pos.astype(np.int64)
+            res_parts.append((
+                np.minimum(cap[rp], ncols - 1).astype(np.int32),
+                vals3.reshape(-1)[rp],
+                res_dest.astype(np.int32)))
+        else:
+            res_parts.append((np.zeros(0, np.int32), np.zeros(0, vdt0),
+                              np.zeros(0, np.int32)))
+
+    # --- unify per-instance static shapes across shards (the
+    # stack_scatter_plans recipe: template slot = maxes, pad K/W2 with
+    # masked wires, dummy instances for short shards) ---
+    imax = max(len(p[0]) for p in plans)
+    if imax == 0:
+        return
+    by_slot = []
+    for s in range(imax):
+        metas_s = [p[0][s] for p in plans if len(p[0]) > s]
+        S1c, S1p, A2R = metas_s[0][0], metas_s[0][1], metas_s[0][2]
+        D2R, Dp = metas_s[0][3], metas_s[0][4]
+        K = max(m[5] for m in metas_s)
+        W2 = max(m[6] for m in metas_s)
+        a0, a1 = metas_s[0][7], metas_s[0][8]
+        if any((m[0], m[1], m[2], m[3], m[4], m[7], m[8])
+               != (S1c, S1p, A2R, D2R, Dp, a0, a1) for m in metas_s):
+            log_warning(
+                "stacked fused delta abandoned: shards disagree on "
+                "chunking at instance slot %d; ALL shards keep the "
+                "legacy paged delta path", s)
+            return
+        by_slot.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1))
+
+    def pad_and_shape(arrs_i, m_i, slot):
+        """Pad one instance to the slot template and pre-reshape into
+        the merged_e1s forms (g2a (L,A2R,L) ... g3 (D2R,K,L,L))."""
+        S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1 = slot
+        _, _, _, _, _, Ki, W2i, _, _ = m_i
+        g2b = arrs_i["g2b"].reshape(L_, W2i, L_)
+        if W2i != W2:
+            g2b = np.pad(g2b, ((0, 0), (0, W2 - W2i), (0, 0)),
+                         constant_values=-1)
+        g3 = arrs_i["g3"]
+        g3p = np.full((K, D2R * L_, L_), -1, dtype=np.int8)
+        g3p[:Ki, : g3.shape[1]] = g3
+        return {
+            "g1": arrs_i["g1"],
+            "g2a": arrs_i["g2a"].reshape(L_, A2R, L_),
+            "g2b": g2b,
+            "g2c": arrs_i["g2c"].reshape(L_, D2R, L_),
+            "g3": np.ascontiguousarray(
+                g3p.reshape(K, D2R, L_, L_).transpose(1, 0, 2, 3)),
+        }
+
+    def dummy_shaped(slot):
+        S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1 = slot
+        return {
+            "g1": np.full((S1p, L_), -1, np.int8),
+            "g2a": np.full((L_, A2R, L_), -1, np.int8),
+            "g2b": np.full((L_, W2, L_), -1, np.int8),
+            "g2c": np.full((L_, D2R, L_), -1, np.int8),
+            "g3": np.full((D2R, K, L_, L_), -1, np.int8),
+        }
+
+    inst_stacked = []
+    for s, slot in enumerate(by_slot):
+        per_shard = []
+        for p in plans:
+            if len(p[0]) > s:
+                per_shard.append(pad_and_shape(p[1][s], p[0][s], slot))
+            else:
+                per_shard.append(dummy_shaped(slot))
+        inst_stacked.append({k: np.stack([d[k] for d in per_shard])
+                             for k in ("g1", "g2a", "g2b", "g2c", "g3")})
+
+    rmax = max(rc.size for rc, _rv, _rd in res_parts)
+    fused_arrs = {
+        "plo": np.stack(s_plo),
+        "mg": np.stack(s_mg),
+        "vals": np.stack(s_vals),
+        "inst": inst_stacked,
+    }
+    if rmax:
+        res_cols = np.zeros((n, rmax), dtype=np.int32)
+        res_vals = np.zeros((n, rmax), dtype=vdt0)
+        res_dest = np.full((n, rmax), max_rows, dtype=np.int32)
+        for i, (rc, rv, rd) in enumerate(res_parts):
+            res_cols[i, : rc.size] = rc
+            res_vals[i, : rv.size] = rv
+            res_dest[i, : rd.size] = rd
+        fused_arrs["res_cols"] = res_cols
+        fused_arrs["res_vals"] = res_vals
+        fused_arrs["res_dest"] = res_dest
+    arrays["delta_fused"] = fused_arrs
+    # leftovers (sl spill past MAX_Q pages) replace the stacked delta on
+    # the XLA path; lp has none — zero-length arrays keep the pytree
+    # static either way
+    dn = max(l.size for l in lefts)
+    d_cols = np.zeros((n, dn), dtype=np.int32)
+    d_vals = np.zeros((n, dn), dtype=vdt0)
+    d_rowids = np.zeros((n, dn), dtype=np.int32)
+    for i, (t, l) in enumerate(zip(shards, lefts)):
+        d_rowids[i, :] = max(0, t.nrows - 1)
+        if l.size:
+            d_cols[i, : l.size] = t.delta.cols[l]
+            d_vals[i, : l.size] = t.delta.vals[l]
+            d_rowids[i, : l.size] = t.delta.row_ids[l]
+    arrays["delta"] = {"cols": d_cols, "vals": d_vals,
+                       "row_ids": d_rowids}
+    meta["dsfused"] = ("dsfused", T_pad, q_val, npages,
+                       tuple(by_slot), rmax > 0, style)
+
+
 def stack_scatter_plans(arrays, meta, pages_key: str = "delta_pages",
                         meta_key: str = "dpages",
                         out_key: str = "delta_scatter",
@@ -904,11 +1188,18 @@ class ShardedCsx:
             h_arrays, h_meta = stack_shards(
                 halos, mat.nrows, win,
                 value_dtype=self.arrays["delta"]["vals"].dtype)
-            stack_delta_pages(self.arrays, self.meta, locs, self.chunk)
-            stack_scatter_plans(self.arrays, self.meta)
+            # fused K1/K2/K3 first; legacy paged+routed as the fallback
+            # (each table set independently)
+            stack_fused_delta(self.arrays, self.meta, locs, self.chunk)
+            if not self.meta.get("dsfused"):
+                stack_delta_pages(self.arrays, self.meta, locs,
+                                  self.chunk)
+                stack_scatter_plans(self.arrays, self.meta)
             stack_unit_pages(self.arrays, self.meta, self.chunk)
-            stack_delta_pages(h_arrays, h_meta, halos, win)
-            stack_scatter_plans(h_arrays, h_meta)
+            stack_fused_delta(h_arrays, h_meta, halos, win)
+            if not h_meta.get("dsfused"):
+                stack_delta_pages(h_arrays, h_meta, halos, win)
+                stack_scatter_plans(h_arrays, h_meta)
             stack_unit_pages(h_arrays, h_meta, win)
             self.h_arrays, self.h_meta = h_arrays, h_meta
             self.arrays = {"local": self.arrays, "halo": h_arrays}
@@ -921,9 +1212,13 @@ class ShardedCsx:
                 stack_sym_delta_pages(self.arrays, self.meta, mat.shards,
                                       mat.ncols, mat.nrows)
             else:
-                stack_delta_pages(self.arrays, self.meta, mat.shards,
+                # fused K1/K2/K3 first; legacy paged+routed fallback
+                stack_fused_delta(self.arrays, self.meta, mat.shards,
                                   mat.ncols)
-                stack_scatter_plans(self.arrays, self.meta)
+                if not self.meta.get("dsfused"):
+                    stack_delta_pages(self.arrays, self.meta, mat.shards,
+                                      mat.ncols)
+                    stack_scatter_plans(self.arrays, self.meta)
             stack_unit_pages(self.arrays, self.meta, mat.ncols)
             self.h_arrays = self.h_meta = None
         self.gather_idx = _gather_index(self.meta)

@@ -194,3 +194,83 @@ def test_sharded_symmetric_paged_routed_interpret(monkeypatch):
     want = coo_spmv(nrows, rows, cols, vals.astype(np.float64),
                     x.astype(np.float64))
     assert max_rel_error(got, want) <= 1e-4  # f32 accumulation order
+
+
+def test_sharded_fused_delta_interpret(monkeypatch):
+    """VERDICT r3 #4: the sharded executor runs the fused K1 -> per-
+    instance G1/T1/K2 -> K3 delta pipeline (stack_fused_delta), not the
+    legacy products kernel + 5-gather route apply.  Asserts the fused
+    path was TAKEN (meta carries "dsfused") and matches the oracle on a
+    4-device interpret-mode mesh, replicated and halo."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import Mesh
+
+    import sparsex_tpu.ops.fused as fused
+    import sparsex_tpu.ops.pallas_kernels as pk_mod
+    import sparsex_tpu.ops.route as route_mod
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+    from sparsex_tpu.parallel.shard import ShardedCsx
+
+    monkeypatch.setattr(fused, "MIN_FUSED_NNZ", 256)
+    monkeypatch.setattr(pk_mod, "MIN_PAGE_NNZ", 64)
+    monkeypatch.setattr(route_mod, "MIN_ELEMS", 64)
+    monkeypatch.setattr(pk_mod, "dia_pallas_ok", lambda: True)
+    cfg = Config.instance()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.preproc.xform", "none")
+    cfg.set("spx.rt.nr_threads", "4")
+    cfg.set("spx.tpu.x_mode", "replicated")
+    n = 8192
+    rng = np.random.default_rng(3)
+    rows = rng.integers(0, n, 40000)
+    cols = rng.integers(0, n, 40000)
+    _, u = np.unique(rows.astype(np.int64) * n + cols, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    sh = ShardedCsx(mat, mesh=Mesh(np.array(jax.devices()[:4]),
+                                   ("shards",)))
+    assert sh.meta.get("dsfused"), "stacked fused delta not built"
+    assert "delta_fused" in sh.arrays
+    x = rng.standard_normal(n).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(sh.matvec(x))
+    dense = np.zeros(n)
+    np.add.at(dense, rows, vals.astype(np.float64) * x[cols])
+    assert np.abs(y - dense).max() / np.abs(dense).max() < 1e-5
+
+    # halo mode: banded + near-diagonal singles keep spans narrow; the
+    # local set must take the fused path too
+    cfg.set("spx.tpu.x_mode", "halo")
+    rows2_l, cols2_l = [], []
+    for b in (0, 1):
+        r = np.arange(max(0, -b), min(n, n - b))
+        rows2_l.append(r)
+        cols2_l.append(r + b)
+    r_ = rng.integers(0, n, 40000)
+    c_ = np.clip(r_ + rng.integers(-700, 700, 40000), 0, n - 1)
+    rows2_l.append(r_)
+    cols2_l.append(c_)
+    rows2 = np.concatenate(rows2_l)
+    cols2 = np.concatenate(cols2_l)
+    _, u = np.unique(rows2.astype(np.int64) * n + cols2,
+                     return_index=True)
+    rows2, cols2 = rows2[u], cols2[u]
+    o = np.lexsort((cols2, rows2))
+    rows2, cols2 = rows2[o], cols2[o]
+    vals2 = rng.standard_normal(rows2.size).astype(np.float32)
+    mat2 = CsxMatrix.from_coo(n, n, rows2, cols2, vals2)
+    sh2 = ShardedCsx(mat2, mesh=Mesh(np.array(jax.devices()[:4]),
+                                     ("shards",)))
+    assert sh2.x_mode == "halo"
+    with pltpu.force_tpu_interpret_mode():
+        y2 = np.asarray(sh2.matvec(x))
+    d2 = np.zeros(n)
+    np.add.at(d2, rows2, vals2.astype(np.float64) * x[cols2])
+    assert np.abs(y2 - d2).max() / np.abs(d2).max() < 1e-5
