@@ -67,6 +67,7 @@ _VALIDATORS: Dict[str, Callable[[str], object]] = {
                                  "halo": "halo"}[str(s)],
     "spx.tpu.use_pallas": lambda s: {"auto": "auto", "on": "on",
                                      "off": "off"}[str(s)],
+    "spx.tpu.sb_pages": lambda s: {"1": 1, "2": 2, "4": 4, "8": 8}[str(s)],
     "spx.tpu.sym_full": lambda s: {"auto": "auto", "on": "on",
                                    "off": "off"}[str(s)],
     "spx.log.file": str,
@@ -104,6 +105,7 @@ def _default_properties() -> Dict[str, str]:
         "spx.tpu.mesh_axis": "shards",
         "spx.tpu.dia_min_fill": "0.01",
         "spx.tpu.x_mode": "auto",
+        "spx.tpu.sb_pages": "4",
         "spx.tpu.use_pallas": "auto",
         "spx.tpu.sym_full": "auto",
         "spx.log.file": "",

@@ -281,57 +281,15 @@ class CsxExecutor:
             arrays["dias"] = [_f32(t) for t in arrays["dias"]]
             changed = True
 
-        # --- delta + DIA: the fused 3-kernel pipeline (ops/fused.py) ---
+        # --- delta + DIA planning runs AFTER the unit tables (below) so
+        # unpageable unit-table tails can DEMOTE into the delta table:
+        # bulk lane-placed/paged slots cost ~1 us per 1024 elements where
+        # the serialized XLA tail gather costs ~6.6 ns PER ELEMENT ---
         dmeta_entry = None
         dscatter_entry = None
         dfused_entry = None
         d = self.tables.delta
-        if d is not None and d.nnz:
-            dvals = np.asarray(d.vals)
-            if self._dtype == "bfloat16":
-                dvals = dvals.astype(np.float32)
-            cols64 = np.asarray(d.cols, dtype=np.int64)
-            rows64 = np.asarray(d.row_ids, dtype=np.int64)
-            from sparsex_tpu.ops.fused import build_fused_delta
-            fmeta, farrs = build_fused_delta(cols64, rows64, dvals,
-                                             ncols, self.tables.nrows)
-            if fmeta is not None:
-                arrays["fused"] = farrs
-                arrays["delta"] = None  # leftover lives inside farrs
-                dfused_entry = ("dfused", fmeta)
-                changed = True
-        if d is not None and d.nnz and dfused_entry is None:
-            from sparsex_tpu.ops.route import fold_sort_key
-            rep, leftover = build_delta_pages(
-                cols64, rows64, dvals, ncols, self.tables.nrows,
-                sort_key=fold_sort_key(rows64, self.tables.nrows, cols64))
-            if rep is not None:
-                q, npages = rep.pop("q"), rep.pop("npages")
-                T = rep["plo"].size
-                arrays["delta_pages"] = rep
-                if leftover.size:
-                    lo = np.sort(leftover)
-                    arrays["delta"] = {
-                        "row_ids": d.row_ids[lo], "cols": d.cols[lo],
-                        "vals": dvals[lo]}
-                else:
-                    arrays["delta"] = None
-                dmeta_entry = ("dpages", T, q, npages)
-                changed = True
-                # y side: route products through the static scatter network
-                # instead of the serialized XLA scatter (ops/route.py).
-                from sparsex_tpu.ops.route import build_scatter_plan
-                plan = build_scatter_plan(
-                    np.asarray(rep["rows"], dtype=np.int64),
-                    self.tables.nrows)
-                if plan is not None:
-                    dmetas, darrs, res_pos, res_dest = plan
-                    rep.pop("rows")  # never read on the routed path
-                    arrays["delta_scatter"] = {
-                        "chunks": darrs, "res_pos": res_pos,
-                        "res_dest": res_dest}
-                    dscatter_entry = ("dscatter", dmetas,
-                                      bool(res_pos.size))
+        demoted = []   # (rows, cols, vals) element triples from tails
 
         from sparsex_tpu.ops.route import build_scatter_plan
 
@@ -366,13 +324,17 @@ class CsxExecutor:
                 if fmeta_r is not None:
                     tail = order_r[n_page_r:]
                     run_meta.append((enc_i, delta, width, None, None,
-                                     ("frun", fmeta_r, tail.size)))
-                    run_arrays.append({
-                        "frun": farr_r,
-                        "tail_rows": rows_u[tail].astype(np.int32),
-                        "tail_cols": cols_u[tail].astype(np.int32),
-                        "tail_vals": np.asarray(t["vals"])[tail],
-                    })
+                                     ("frun", fmeta_r, 0)))
+                    run_arrays.append({"frun": farr_r})
+                    if tail.size:
+                        lane = np.arange(width, dtype=np.int64)
+                        tcols = (cols_u[tail][:, None]
+                                 + (sc * delta) * lane[None, :]).reshape(-1)
+                        tvals = np.asarray(t["vals"])[tail].reshape(-1)
+                        nz = tvals != 0
+                        demoted.append((np.repeat(rows_u[tail], width)[nz],
+                                        np.clip(tcols, 0, ncols - 1)[nz],
+                                        tvals[nz]))
                     changed = True
                     continue
             plan_entry, entry_arrays = None, t
@@ -434,13 +396,17 @@ class CsxExecutor:
                     tail = order_b[n_page_b:]
                     run_meta.append(
                         (int(EncType.HORIZONTAL), 1, bc, None, None,
-                         ("frun", fmeta_b, tail.size)))
-                    run_arrays.append({
-                        "frun": farr_b,
-                        "tail_rows": rows_b[tail].astype(np.int32),
-                        "tail_cols": cols_b[tail].astype(np.int32),
-                        "tail_vals": vals_b[tail],
-                    })
+                         ("frun", fmeta_b, 0)))
+                    run_arrays.append({"frun": farr_b})
+                    if tail.size:
+                        tcols = (cols_b[tail][:, None]
+                                 + np.arange(bc, dtype=np.int64)[None, :]
+                                 ).reshape(-1)
+                        tvals = vals_b[tail].reshape(-1)
+                        nz = tvals != 0
+                        demoted.append((np.repeat(rows_b[tail], bc)[nz],
+                                        np.clip(tcols, 0, ncols - 1)[nz],
+                                        tvals[nz]))
                     block_meta.append((enc_i, br, bc, None, None,
                                        ("cvt",)))
                     block_arrays.append({})
@@ -486,6 +452,72 @@ class CsxExecutor:
                 changed = True
             block_meta.append((enc_i, br, bc, plan_entry, scat_entry))
             block_arrays.append(entry_arrays)
+
+        # --- delta + DIA: the fused 3-kernel pipeline (ops/fused.py),
+        # over the matrix's delta singles PLUS every demoted unit-table
+        # tail element ---
+        vdt = (np.dtype(np.float32) if self._dtype == "bfloat16"
+               else np.dtype(self._dtype))
+        if d is not None and d.nnz:
+            dvals = np.asarray(d.vals).astype(vdt, copy=False)
+            cols64 = np.asarray(d.cols, dtype=np.int64)
+            rows64 = np.asarray(d.row_ids, dtype=np.int64)
+        else:
+            dvals = np.zeros(0, dtype=vdt)
+            cols64 = np.zeros(0, dtype=np.int64)
+            rows64 = np.zeros(0, dtype=np.int64)
+        if demoted:
+            rows64 = np.concatenate(
+                [rows64] + [r.astype(np.int64) for r, _, _ in demoted])
+            cols64 = np.concatenate(
+                [cols64] + [c.astype(np.int64) for _, c, _ in demoted])
+            dvals = np.concatenate(
+                [dvals] + [v.astype(vdt, copy=False) for _, _, v in demoted])
+            # the demoted elements must reach SOME delta path even when
+            # no paged/fused layout applies below
+            arrays["delta"] = {"row_ids": rows64, "cols": cols64,
+                               "vals": dvals}
+            changed = True
+        if dvals.size:
+            from sparsex_tpu.ops.fused import build_fused_delta
+            fmeta, farrs = build_fused_delta(cols64, rows64, dvals,
+                                             ncols, self.tables.nrows)
+            if fmeta is not None:
+                arrays["fused"] = farrs
+                arrays["delta"] = None  # leftover lives inside farrs
+                dfused_entry = ("dfused", fmeta)
+                changed = True
+        if dvals.size and dfused_entry is None:
+            from sparsex_tpu.ops.route import fold_sort_key
+            rep, leftover = build_delta_pages(
+                cols64, rows64, dvals, ncols, self.tables.nrows,
+                sort_key=fold_sort_key(rows64, self.tables.nrows, cols64))
+            if rep is not None:
+                q, npages = rep.pop("q"), rep.pop("npages")
+                T = rep["plo"].size
+                arrays["delta_pages"] = rep
+                if leftover.size:
+                    lo = np.sort(leftover)
+                    arrays["delta"] = {
+                        "row_ids": rows64[lo], "cols": cols64[lo],
+                        "vals": dvals[lo]}
+                else:
+                    arrays["delta"] = None
+                dmeta_entry = ("dpages", T, q, npages)
+                changed = True
+                # y side: route products through the static scatter network
+                # instead of the serialized XLA scatter (ops/route.py).
+                plan = build_scatter_plan(
+                    np.asarray(rep["rows"], dtype=np.int64),
+                    self.tables.nrows)
+                if plan is not None:
+                    dmetas, darrs, res_pos, res_dest = plan
+                    rep.pop("rows")  # never read on the routed path
+                    arrays["delta_scatter"] = {
+                        "chunks": darrs, "res_pos": res_pos,
+                        "res_dest": res_dest}
+                    dscatter_entry = ("dscatter", dmetas,
+                                      bool(res_pos.size))
 
         if not changed:
             return

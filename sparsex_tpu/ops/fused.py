@@ -51,7 +51,22 @@ MIN_FUSED_NNZ = 1 << 15    # below this the XLA delta path is cheaper
 # Plan construction (host side)
 # ---------------------------------------------------------------------------
 
-SB_PAGES = 4   # lane-placed superblock: pages per tile window
+SB_PAGES = 4   # lane-placed superblock: pages per tile window (default)
+
+
+def sb_pages() -> int:
+    """Pages per lane-placed tile window (``spx.tpu.sb_pages``).
+
+    The tradeoff this knob sweeps (measure on the real chip): smaller
+    windows cut K1's per-tile VPU ops (q8 masked sublane gathers; q8=1
+    is ONE native take) and its x-window DMA bytes 4x, but shrink the
+    (fold, superblock, lane) classes so partial tiles / pad-to-8 rows
+    grow T.  Layouts carry their q, so mixed values stay correct."""
+    from sparsex_tpu.config import Config
+    try:
+        return int(Config.instance().get("spx.tpu.sb_pages"))
+    except Exception:
+        return SB_PAGES
 
 
 def _lane_place_layout(cols, rows, vals, fold, ncols: int,
@@ -72,8 +87,9 @@ def _lane_place_layout(cols, rows, vals, fold, ncols: int,
     ``low`` the within-window row (page*8 + source row, < 32).
     """
     m = cols.size
+    sbp = sb_pages()
     npages = -(-ncols // PAGE)
-    sb_cols = SB_PAGES * PAGE
+    sb_cols = sbp * PAGE
     lane = cols & (L - 1)
     sb = cols // sb_cols
     order = np.lexsort((cols, lane, sb, fold))
@@ -113,13 +129,13 @@ def _lane_place_layout(cols, rows, vals, fold, ncols: int,
     vals3 = np.zeros((T, 8, L), dtype=vals.dtype)
     dest = np.full((T, 8, L), nrows_part, dtype=np.int64)
     cols_at_pos = np.zeros((T, 8, L), dtype=np.int64)
-    off = c_s - b_s * sb_cols             # < SB_PAGES * 1024
-    low[tile, sub_row, l_s] = off // L    # page*8 + source row, < 32
+    off = c_s - b_s * sb_cols             # < sbp * 1024
+    low[tile, sub_row, l_s] = off // L    # page*8 + source row, < 8*sbp
     vals3[tile, sub_row, l_s] = vals[order]
     dest[tile, sub_row, l_s] = rows[order]
     cols_at_pos[tile, sub_row, l_s] = c_s
     leftover_sel = np.zeros(0, dtype=np.int64)
-    return (p0, low, vals3, dest.reshape(-1), tg, SB_PAGES, int(npages),
+    return (p0, low, vals3, dest.reshape(-1), tg, sbp, int(npages),
             leftover_sel, cols_at_pos.reshape(-1))
 
 
@@ -138,20 +154,24 @@ def _run_lane_place(cols_u, rows_u, vals2d, W: int, ncols: int,
 
     Packing: arcs only need to be DISJOINT within a row (the sliding
     window at an arc's end lane covers exactly its own W lanes), so
-    this is circular interval packing on 128 lanes.  Per superblock,
-    arcs sort by head lane and deal round-robin over
-    R = ceil(count/13) rows: same-row neighbours are R apart in sorted
-    order, so their gaps concentrate near 128R/count ≈ 10 > W and only
-    the few conflicting arcs (plus circular wrap conflicts) are evicted
-    into a second packing round; the remainder spills to the XLA tail.
-    Measured fill ≈ 75% vs 58% for the earlier slot-aligned scheme.
+    this is circular interval packing on 128 lanes.  Per superblock:
+    cut the circle at the lane of MINIMUM coverage depth, rotate, then
+    color the non-crossing arcs with the mod-chi rule — sorted by
+    rotated lane, a conflicting pair implies a consecutive clique, so
+    chi = max clique depth rows suffice and ``row = rank mod chi`` is a
+    valid OPTIMAL linear-interval coloring; the few arcs crossing the
+    cut (min-depth many) pairwise conflict, so each takes one dedicated
+    row.  One pass, zero evictions: the only spill is superblock-
+    straddling arcs, and spills demote to the delta table (bulk slots)
+    rather than serialized tail gathers.
 
     Returns (T, plo, sl, vals3, dest, punit, q, npages, order, n_page)
     or None (lane-skew fill < 50%, or too small).  ``punit`` maps each
     grid position to its unit's index in ``order`` (-1 elsewhere).
     """
     c = cols_u.astype(np.int64)
-    sb_cols = SB_PAGES * PAGE
+    sbp = sb_pages()
+    sb_cols = sbp * PAGE
     sb = c // sb_cols
     ok = (c + W - 1) // sb_cols == sb      # arc within one superblock
     idx_ok = np.flatnonzero(ok)
@@ -159,57 +179,56 @@ def _run_lane_place(cols_u, rows_u, vals2d, W: int, ncols: int,
         return None
     uniq_sb, sb_all = np.unique(sb[idx_ok], return_inverse=True)
     nsb = uniq_sb.size
-    rows_used = np.zeros(nsb, dtype=np.int64)    # rows allocated so far
 
-    def pack_round(idx, div):
-        """Round-robin interval packing of arcs ``idx`` (indices into
-        idx_ok).  Returns (rows_global_per_arc, kept_mask); allocates
-        rows on top of ``rows_used``."""
-        sl_ = (c[idx_ok[idx]] & (L - 1))
-        sbd = sb_all[idx]
-        order_ = np.lexsort((sl_, sbd))
-        sbs, ss = sbd[order_], sl_[order_]
-        cnt = np.bincount(sbs, minlength=nsb)
-        # rows hold up to 128/W arcs; ~1.23x slack (div=104) keeps the
-        # round-robin neighbour gaps concentrated above W; later rounds
-        # (small per-sb counts, noisier gaps) use more slack
-        R = np.maximum(1, -(-cnt * W // div))
-        starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
-        pos = np.arange(idx.size)
-        rank = pos - starts[sbs]
-        Rr = R[sbs]
-        row_in = rank % Rr
-        okg = np.ones(idx.size, dtype=bool)
-        hp = rank >= Rr                       # has a same-row predecessor
-        gp = np.flatnonzero(hp)
-        okg[gp] = (ss[gp] - ss[gp - Rr[gp]]) >= W
-        # circular conflicts: an arc that wraps past lane 127 overlaps
-        # the row's FIRST arc unless first_s + 128 - s >= W.  The first
-        # arc (smallest s, no predecessor) is never evicted, so it is a
-        # stable anchor; at most one wrapping arc survives the linear
-        # check per row.
-        wr = np.flatnonzero(ss > L - W)
-        firstpos = (starts[sbs] + row_in)[wr]
-        okg[wr] &= ((ss[firstpos] + L - ss[wr]) >= W) | (firstpos == wr)
-        grow_ = np.full(idx.size, -1, dtype=np.int64)
-        grow_[okg] = (rows_used[sbs] + row_in)[okg]
-        rows_used[np.arange(nsb)] += R * (cnt > 0)
-        out = np.full(idx.size, -1, dtype=np.int64)
-        out[order_] = grow_
-        return out
+    # rotate each superblock's lane circle so the cut sits at the lane
+    # of MINIMUM coverage depth: wrap conflicts involve only the
+    # min-depth-many arcs crossing the cut
+    lane_raw = (c[idx_ok] & (L - 1)).astype(np.int64)
+    cov = np.zeros((nsb, L), dtype=np.int64)
+    for j in range(W):
+        np.add.at(cov, (sb_all, (lane_raw + j) & (L - 1)), 1)
+    cut = np.argmin(cov, axis=1)
+    lane_rot = (lane_raw - cut[sb_all]) & (L - 1)
 
-    all_pos = np.arange(idx_ok.size)
+    rows_used = np.zeros(nsb, dtype=np.int64)
     rows_rel = np.full(idx_ok.size, -1, dtype=np.int64)
-    pend = all_pos
-    # keep packing the evicted remainder: spilled units fall to the XLA
-    # tail gather, which costs ~6.6 ns/element inside the SpMM column
-    # scan — a handful of extra rounds leaves a negligible tail
-    for rnd in range(8):
-        if pend.size <= 64:
+    pend = np.arange(idx_ok.size)
+    for rnd in range(4):
+        if pend.size == 0:
             break
-        got = pack_round(pend, 104 if rnd < 2 else 40)
-        rows_rel[pend] = got
-        pend = pend[got < 0]
+        o = np.lexsort((lane_rot[pend], sb_all[pend]))
+        p = pend[o]
+        psb = sb_all[p]
+        pl = lane_rot[p]
+        cnt = np.bincount(psb, minlength=nsb)
+        starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        rank = np.arange(p.size) - starts[psb]
+        # chi = max consecutive clique (the true minimum rows for FULL
+        # placement; key spacing > 256 keeps searchsorted per-sb) caps
+        # R; the mean-depth * ~1.15 slack target below it trims the
+        # Poisson depth tail into the next round instead of allocating
+        # rows for the single worst lane
+        key = psb * 256 + pl
+        depth = (np.arange(p.size)
+                 - np.searchsorted(key, key - (W - 1)) + 1)
+        chi = np.zeros(nsb, dtype=np.int64)
+        np.maximum.at(chi, psb, depth)
+        slack = 111 if rnd == 0 else 64
+        R = np.minimum(chi, np.maximum(1, -(-cnt * W // slack)))
+        Rr = np.maximum(R[psb], 1)
+        row_in = rank % Rr
+        okg = np.ones(p.size, dtype=bool)
+        gp = np.flatnonzero(rank >= Rr)  # same-row linear predecessor
+        okg[gp] = (pl[gp] - pl[gp - Rr[gp]]) >= W
+        # circular check: an arc wrapping past the cut overlaps its
+        # row's FIRST arc unless first + 128 - s >= W (rotation makes
+        # these rare); the first arc itself is never evicted
+        wr = np.flatnonzero(pl > L - W)
+        firstpos = (starts[psb] + row_in)[wr]
+        okg[wr] &= ((pl[firstpos] + L - pl[wr]) >= W) | (firstpos == wr)
+        rows_rel[p[okg]] = (rows_used[psb] + row_in)[okg]
+        rows_used += R * (cnt > 0)
+        pend = p[~okg]
     placed = rows_rel >= 0
     # per-sb row blocks padded to whole 8-row tiles (a tile's window is
     # ONE superblock, so sb row blocks must not straddle tiles)
@@ -245,9 +264,9 @@ def _run_lane_place(cols_u, rows_u, vals2d, W: int, ncols: int,
     punit[tile, row, lane_end] = np.arange(idx_pl.size)
     spill = np.concatenate([idx_ok[~placed], np.flatnonzero(~ok)])
     order = np.concatenate([idx_pl, spill])
-    npages = -(-(-(-ncols // PAGE)) // SB_PAGES) * SB_PAGES
+    npages = -(-(-(-ncols // PAGE)) // sbp) * sbp
     return (T, plo, sl, vals3, dest.reshape(-1), punit.reshape(-1),
-            SB_PAGES, int(npages), order, int(idx_pl.size))
+            sbp, int(npages), order, int(idx_pl.size))
 
 
 def _stride_tiles(tile_group: np.ndarray, GT: int = None) -> np.ndarray:
@@ -797,13 +816,21 @@ def _build_k1(T: int, q: int, style: str, dtype_str: str, kb: int = 0):
                 # tile's window is ONE aligned q8-page block — a single
                 # DMA and one sublane gather per page (DMA issue and the
                 # 24-op lane-shuffle were most of K1's runtime)
-                pg = jax.lax.shift_right_logical(low, jnp.int32(3))
                 sr = jax.lax.bitwise_and(low, jnp.int32(7))
                 win = page_refs[t][0] if kb else page_refs[t]
-                for j in range(q8):
-                    C = jnp.take_along_axis(win[j], sr, axis=0)
-                    total = total + jnp.where(pg == j, C,
-                                              jnp.zeros((), dtype))
+                if q8 == 1:
+                    # 1-page superblock: the window is one (8, L) VREG
+                    # tile, the gather ONE native sublane take — no
+                    # page-select masks (q8=4 masked gathers were 12 of
+                    # K1's 17 ops/tile; empty slots read garbage that
+                    # val=0 kills)
+                    total = jnp.take_along_axis(win[0], sr, axis=0)
+                else:
+                    pg = jax.lax.shift_right_logical(low, jnp.int32(3))
+                    for j in range(q8):
+                        C = jnp.take_along_axis(win[j], sr, axis=0)
+                        total = total + jnp.where(pg == j, C,
+                                                  jnp.zeros((), dtype))
             else:
                 sub = jax.lax.shift_right_logical(low, jnp.int32(7))
                 lane = jax.lax.bitwise_and(low, jnp.int32(127))

@@ -616,8 +616,8 @@ def stack_fused_delta(arrays, meta, shards: List[CsxTables],
     paged/routed path (one SPMD program)."""
     from sparsex_tpu.ops import route
     from sparsex_tpu.ops.fused import (DELTA_TILE, K1_GT, MIN_FUSED_NNZ,
-                                       PAGE, SB_PAGES, _lane_place_layout,
-                                       pack_k1_meta)
+                                       PAGE, _lane_place_layout,
+                                       pack_k1_meta, sb_pages)
     from sparsex_tpu.ops.pallas_kernels import build_delta_pages
 
     vdt0 = arrays["delta"]["vals"].dtype
@@ -710,7 +710,7 @@ def stack_fused_delta(arrays, meta, shards: List[CsxTables],
         q_val = int(q_max)
         npages = next(int(r["npages"]) for r, _l in real_reps)
     else:
-        q_val = SB_PAGES
+        q_val = sb_pages()
         npages = int(npages)   # from the last lp above (same ncols)
     for i, lay in enumerate(layouts):
         if lay is not None:

@@ -463,3 +463,65 @@ def test_run_lane_place_fill_fallback():
     meta, _, _, _ = fused.build_fused_run(
         cols_u, rows_u, vals2d, n, n, 8)
     assert meta is None or meta[5] == "run8"
+
+
+@pytest.mark.parametrize("sbp", [1, 2])
+def test_sb_pages_sweep_end_to_end(monkeypatch, sbp):
+    """``spx.tpu.sb_pages`` resizes the lane-placed superblock (1-page
+    windows make the K1 gather ONE native sublane take); delta lp and
+    rlp runs must stay exact at every setting."""
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    cfg = Config.instance()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.preproc.xform", "h")
+    cfg.set("spx.tpu.sb_pages", str(sbp))
+    try:
+        rng = np.random.default_rng(13 + sbp)
+        n = 1 << 14
+        nu = 3000
+        hr = rng.integers(0, n, nu)
+        # evenly spaced arc heads (lanes at multiples of W=8 tile rows
+        # perfectly) pack near-100% at every window size; random heads
+        # are the adversarial case covered by the default-sbp tests
+        hc = (np.arange(nu, dtype=np.int64) * 8) % (n - 8)
+        rows_l = [np.repeat(hr, 8), rng.integers(0, n, 40000)]
+        cols_l = [(hc[:, None] + np.arange(8)[None]).ravel(),
+                  rng.integers(0, n, 40000)]
+        rows = np.concatenate(rows_l)
+        cols = np.concatenate(cols_l)
+        key = rows.astype(np.int64) * n + cols
+        _, u = np.unique(key, return_index=True)
+        rows, cols = rows[u], cols[u]
+        o = np.lexsort((cols, rows))
+        rows, cols = rows[o], cols[o]
+        vals = rng.standard_normal(rows.size).astype(np.float32)
+
+        mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+        ex = mat.executors[0]
+        with pltpu.force_tpu_interpret_mode():
+            assert ex._pages_active()
+            extras = {e[0]: e[1:] for e in ex._pages_meta[5:] if e}
+            # (q, style) of every fused segment; sparse fallbacks to the
+            # dense-tile styles ("sl"/"runW") keep their own q, but any
+            # LANE-PLACED segment must carry the configured window size
+            qs = []
+            if "dfused" in extras:
+                fm = extras["dfused"][0]
+                qs.append((fm[1], fm[6]))
+            qs += [(e[5][1][1], e[5][1][5]) for e in ex._pages_meta[2]
+                   if len(e) > 5 and e[5] and e[5][0] == "frun"]
+            lane_placed = [q for q, st in qs
+                           if st == "lp" or st.startswith("rlp")]
+            assert lane_placed, f"no lane-placed segment built: {qs}"
+            assert all(q == sbp for q in lane_placed), (qs, sbp)
+            x = rng.standard_normal(n).astype(np.float32)
+            y = np.asarray(ex(jnp.asarray(x)))
+        ref = np.zeros(n, np.float64)
+        np.add.at(ref, rows, vals.astype(np.float64) *
+                  x.astype(np.float64)[cols])
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+    finally:
+        cfg.set("spx.tpu.sb_pages", "4")
