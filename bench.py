@@ -455,7 +455,11 @@ def bench_workload(name, n, rows, cols, vals, save_restore=False):
             f"rel={rel:.3e} > {CHECK_TOL:g}")
 
     fn1 = make(LOOPS // 4)
+    t0 = time.perf_counter()
     _sync(fn1())   # compile before tracing
+    compile_s = time.perf_counter() - t0
+    log(f"[{name}] first-call compile+run: {compile_s:.1f}s "
+        f"(the reference's pt includes JIT, SparsexModule.cpp:45-50)")
     per_iter = _device_time_per_iter(fn1, LOOPS // 4)
     if per_iter is not None:
         log(f"[{name}] timing (device trace, min of 3): "
@@ -473,6 +477,7 @@ def bench_workload(name, n, rows, cols, vals, save_restore=False):
         "pt_s": pt,
         "pt_mine_s": pt_mine,
         "pt_plan_s": pt_plan,
+        "compile_s": compile_s,
         "check_rel_err": rel,
         "csx_bytes": csx_bytes,
         # ideal one-pass traffic: compressed tables + x read + y write +
@@ -677,6 +682,7 @@ def run_benches():
              "headline_pt_mine_s": head["pt_mine_s"],
              "headline_pt_plan_s": head["pt_plan_s"],
              "headline_restore_pt_s": head.get("restore_pt_s"),
+             "headline_compile_s": head.get("compile_s"),
              "headline_hbm_sol_frac": frac,
              "headline_check_rel_err": head["check_rel_err"],
              "blocky_nnz_per_s": blocky["nnz_per_s"],

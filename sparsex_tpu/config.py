@@ -68,6 +68,7 @@ _VALIDATORS: Dict[str, Callable[[str], object]] = {
     "spx.tpu.use_pallas": lambda s: {"auto": "auto", "on": "on",
                                      "off": "off"}[str(s)],
     "spx.tpu.sb_pages": lambda s: {"1": 1, "2": 2, "4": 4, "8": 8}[str(s)],
+    "spx.tpu.min_fused_nnz": lambda s: "" if str(s) == "" else int(s),
     "spx.tpu.sym_full": lambda s: {"auto": "auto", "on": "on",
                                    "off": "off"}[str(s)],
     "spx.log.file": str,
@@ -106,6 +107,7 @@ def _default_properties() -> Dict[str, str]:
         "spx.tpu.dia_min_fill": "0.01",
         "spx.tpu.x_mode": "auto",
         "spx.tpu.sb_pages": "4",
+        "spx.tpu.min_fused_nnz": "",   # empty = built-in default (1<<15)
         "spx.tpu.use_pallas": "auto",
         "spx.tpu.sym_full": "auto",
         "spx.log.file": "",

@@ -51,6 +51,8 @@ def build(workload, k):
     cfg.set("spx.tpu.value_dtype", "float32")
     cfg.set("spx.preproc.xform", "all")
     cfg.set("spx.preproc.sampling", "portion")
+    if os.environ.get("SPX_SB_PAGES"):
+        cfg.set("spx.tpu.sb_pages", os.environ["SPX_SB_PAGES"])
     builders = {
         "headline": (bench.build_matrix, bench.N),
         "blocky": (bench.build_blocky_matrix, bench.N_BLOCKY),
