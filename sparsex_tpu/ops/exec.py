@@ -307,11 +307,43 @@ class CsxExecutor:
 
         # --- run tables: unit-page gather plans (x-reading types only)
         #     + y-side scatter routes ---
+        from sparsex_tpu.preprocess.encodings import EncType
+        from sparsex_tpu.ops.fused import min_fused_nnz
+
+        # vert/diag/anti-diag units write W INDEPENDENT dest rows — they
+        # are exactly W delta elements, and the fused delta pipeline
+        # (one lane-placed K1 slot per element, shared K2/K3, single y
+        # write) beats the legacy unit-paged + partial-segment chain.
+        # Demote those tables wholesale when the combined delta stream
+        # clears the fused gate (below it they keep the legacy plans).
+        base_delta = int(d.nnz) if (d is not None and d.nnz) else 0
+        sr_elems = sum(
+            int(np.asarray(t["rows"]).size) * w_
+            for (e_, d_, w_), t in zip(self.meta[2], arrays["runs"])
+            if run_step(EncType(e_))[0] != 0)
+        demote_sr = (sr_elems
+                     and base_delta + sr_elems >= min_fused_nnz())
+
         run_meta = []
         run_arrays = []
         for (enc_i, delta, width), t in zip(self.meta[2], arrays["runs"]):
-            from sparsex_tpu.preprocess.encodings import EncType
             sr, sc = run_step(EncType(enc_i))
+            if sr != 0 and demote_sr:
+                lane = np.arange(width, dtype=np.int64)
+                trows = (np.asarray(t["rows"], dtype=np.int64)[:, None]
+                         + (sr * delta) * lane[None, :]).reshape(-1)
+                tcols = (np.asarray(t["cols"], dtype=np.int64)[:, None]
+                         + (sc * delta) * lane[None, :]).reshape(-1)
+                tvals = np.asarray(t["vals"]).reshape(-1)
+                nz = tvals != 0
+                demoted.append(
+                    (np.clip(trows, 0, self.tables.nrows - 1)[nz],
+                     np.clip(tcols, 0, ncols - 1)[nz], tvals[nz]))
+                run_meta.append((enc_i, delta, width, None, None,
+                                 ("cvt",)))
+                run_arrays.append({})
+                changed = True
+                continue
             # horizontal runs whose width divides 128: the fully fused
             # kernel (gather + FMA + sliding-sum + G1 -> shared K3)
             if sr == 0 and width >= 2 and 128 % width == 0:

@@ -533,6 +533,11 @@ def local_contrib(meta, arrs, x, *, nrows_part: int, ncols: int,
         enc = EncType(enc_i)
         sr, sc = run_step(enc)
         lane = jnp.arange(width, dtype=jnp.int32)
+        if len(entry) > 5 and entry[5] and entry[5][0] == "cvt":
+            # demoted wholesale into the delta pipeline (exec.py): a
+            # vert/diag/anti-diag unit is W independent dest rows = W
+            # delta elements
+            continue
         if len(entry) > 5 and entry[5] and entry[5][0] == "frun":
             # fully fused horizontal runs: one kernel gathers, multiplies,
             # sliding-sums each unit and routes through G1 into the
@@ -824,6 +829,8 @@ def fused_mm_contrib(meta, arrs, xt, *, nrows_part: int, ncols: int):
         sr, sc = run_step(enc)
         lane = jnp.arange(width, dtype=jnp.int32)
         steps = (sc * delta) * lane
+        if len(entry) > 5 and entry[5] and entry[5][0] == "cvt":
+            continue   # demoted into the delta pipeline (exec.py)
         if len(entry) > 5 and entry[5] and entry[5][0] == "frun":
             _, fmeta_r, n_tail = entry[5]
             fr = t["frun"]

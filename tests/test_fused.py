@@ -525,3 +525,59 @@ def test_sb_pages_sweep_end_to_end(monkeypatch, sbp):
         assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
     finally:
         cfg.set("spx.tpu.sb_pages", "4")
+
+
+def test_diag_class_demotes_to_fused_delta(monkeypatch):
+    """Vert/diag/anti-diag tables demote wholesale into the fused delta
+    pipeline (one delta element per unit element) when the combined
+    stream clears the fused gate: run_meta carries ("cvt",) and the
+    result matches the oracle."""
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+    from sparsex_tpu.preprocess.encodings import EncType
+    from sparsex_tpu.preprocess.xform import run_step
+
+    monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
+    cfg = Config.instance()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.preproc.xform", "v,d,ad")
+
+    rng = np.random.default_rng(21)
+    n = 1 << 14
+    j16 = np.arange(16)
+    rows_l, cols_l = [], []
+    nd = 400
+    dr = rng.integers(0, n - 16, nd); dc = rng.integers(0, n - 16, nd)
+    rows_l.append((dr[:, None] + j16[None]).ravel())
+    cols_l.append((dc[:, None] + j16[None]).ravel())
+    ar = rng.integers(0, n - 16, nd); ac = rng.integers(16, n, nd)
+    rows_l.append((ar[:, None] + j16[None]).ravel())
+    cols_l.append((ac[:, None] - j16[None]).ravel())
+    vr = rng.integers(0, n - 8, nd); vc = rng.integers(0, n, nd)
+    rows_l.append((vr[:, None] + np.arange(8)[None]).ravel())
+    cols_l.append(np.repeat(vc, 8))
+    rows_l.append(rng.integers(0, n, 8000))
+    cols_l.append(rng.integers(0, n, 8000))
+    rows = np.concatenate(rows_l); cols = np.concatenate(cols_l)
+    key = rows.astype(np.int64) * n + cols
+    _, u = np.unique(key, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows)); rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    ex = mat.executors[0]
+    with pltpu.force_tpu_interpret_mode():
+        assert ex._pages_active()
+        rmeta = ex._pages_meta[2]
+        sr_tables = [e for e in rmeta
+                     if run_step(EncType(e[0]))[0] != 0]
+        assert sr_tables, "no vert/diag tables mined"
+        assert all(len(e) > 5 and e[5] and e[5][0] == "cvt"
+                   for e in sr_tables), rmeta
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.asarray(ex(jnp.asarray(x)))
+    ref = np.zeros(n, np.float64)
+    np.add.at(ref, rows, vals.astype(np.float64) *
+              x.astype(np.float64)[cols])
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
