@@ -457,6 +457,27 @@ class CsxExecutor:
                     fblk = self._build_fblk(t, order, plan, br, bc, ncols)
                     if fblk is not None:
                         entry_arrays, seg_metas, n_tail = fblk
+                        tail = entry_arrays.pop("_tail")
+                        if tail.size:
+                            tr = np.asarray(t["rows"], np.int64)[tail]
+                            tc = np.asarray(t["cols"], np.int64)[tail]
+                            tv = np.asarray(t["vals"])[tail]  # (U,br,bc)
+                            rr = (tr[:, None, None]
+                                  + np.arange(br, dtype=np.int64)[None, :,
+                                                                  None])
+                            cc2 = (tc[:, None, None]
+                                   + np.arange(bc, dtype=np.int64)[None,
+                                                                   None])
+                            rr = np.broadcast_to(rr, tv.shape).reshape(-1)
+                            cc2 = np.broadcast_to(cc2,
+                                                  tv.shape).reshape(-1)
+                            tvf = tv.reshape(-1)
+                            nz = tvf != 0
+                            demoted.append(
+                                (np.clip(rr, 0,
+                                         self.tables.nrows - 1)[nz],
+                                 np.clip(cc2, 0, ncols - 1)[nz],
+                                 tvf[nz]))
                         plan_entry = (plan["T"], plan["q"], plan["g"],
                                       plan["npages"])
                         block_meta.append((enc_i, br, bc, plan_entry,
@@ -653,11 +674,8 @@ class CsxExecutor:
             entry_arrays[f"fb_{r}"] = seg_arrays
             seg_metas.append((inst_meta, has_res, M_pad))
         entry_arrays["_dest_r"] = dest_rs
-        tail = order[n_page:]
-        entry_arrays["tail_rows"] = t["rows"][tail].astype(np.int32)
-        entry_arrays["tail_cols"] = t["cols"][tail].astype(np.int32)
-        entry_arrays["tail_vals"] = np.asarray(t["vals"])[tail]
-        return entry_arrays, tuple(seg_metas), int(tail.size)
+        entry_arrays["_tail"] = order[n_page:]   # caller demotes to delta
+        return entry_arrays, tuple(seg_metas), 0
 
     def _merge_fused_segments(self, arrays, dfused_entry, run_meta,
                               run_arrays, block_meta, block_arrays):
