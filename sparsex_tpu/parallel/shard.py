@@ -475,6 +475,82 @@ def _rebase_tables_window(t: CsxTables, base_h: int) -> CsxTables:
                      blocks=blocks, dias=dias)
 
 
+def _demote_sr_run_tables(shards: List[CsxTables]) -> List[CsxTables]:
+    """Vert/diag/anti-diag run units -> delta elements, per shard (the
+    sharded analogue of exec.py's demotion): a non-horizontal unit
+    writes W independent destination rows, so the stacked fused/paged
+    delta pipelines execute it better than the legacy per-table XLA
+    chain inside the SPMD program.  Applied only when every real
+    shard's combined delta stream clears the fused gate and the value
+    dtype rides the Pallas stacking; otherwise the tables are returned
+    unchanged (legacy plans remain)."""
+    from dataclasses import replace
+
+    from sparsex_tpu.ops.fused import min_fused_nnz
+
+    combined, any_sr, vdt = [], False, None
+    for t in shards:
+        base = t.delta.nnz if t.delta is not None else 0
+        ex = 0
+        for rt in t.runs:
+            if run_step(rt.enc)[0] != 0 and rt.vals.size:
+                ex += int(rt.vals.size)
+                any_sr = True
+                vdt = vdt or rt.vals.dtype
+        if t.delta is not None:
+            vdt = vdt or t.delta.vals.dtype
+        combined.append(base + ex)
+    if not any_sr or not _pallas_stacking_ok(vdt):
+        return shards
+    gate = min_fused_nnz()
+    if any(c and c < gate for c in combined):
+        return shards            # a small real shard: keep legacy plans
+    out = []
+    for t in shards:
+        keep, dr, dc, dv = [], [], [], []
+        for rt in t.runs:
+            sr, sc = run_step(rt.enc)
+            if sr == 0 or not rt.vals.size:
+                keep.append(rt)
+                continue
+            W = rt.width
+            lane = np.arange(W, dtype=np.int64)
+            rr = (np.asarray(rt.rows, np.int64)[:, None]
+                  + (sr * rt.delta) * lane[None, :]).reshape(-1)
+            cc = (np.asarray(rt.cols, np.int64)[:, None]
+                  + (sc * rt.delta) * lane[None, :]).reshape(-1)
+            vv = np.asarray(rt.vals).reshape(-1)
+            nz = vv != 0
+            dr.append(np.clip(rr, 0, t.nrows - 1)[nz])
+            dc.append(np.clip(cc, 0, t.ncols - 1)[nz])
+            dv.append(vv[nz])
+        if not dr:
+            out.append(t)
+            continue
+        d = t.delta
+        rows_all = np.concatenate(
+            ([np.asarray(d.row_ids, np.int64)] if d is not None else [])
+            + dr)
+        cols_all = np.concatenate(
+            ([np.asarray(d.cols, np.int64)] if d is not None else []) + dc)
+        vals_all = np.concatenate(
+            ([np.asarray(d.vals)] if d is not None else []) + dv)
+        o = np.lexsort((cols_all, rows_all))
+        rows_all, cols_all, vals_all = rows_all[o], cols_all[o], vals_all[o]
+        rowptr = np.zeros(t.nrows + 1, dtype=np.int64)
+        np.cumsum(np.bincount(rows_all, minlength=t.nrows),
+                  out=rowptr[1:])
+        cdt = d.cols.dtype if d is not None else np.int32
+        rdt = d.row_ids.dtype if d is not None else np.int32
+        out.append(replace(
+            t, runs=keep,
+            delta=DeltaTable(rowptr=rowptr,
+                             cols=cols_all.astype(cdt),
+                             vals=vals_all,
+                             row_ids=rows_all.astype(rdt))))
+    return out
+
+
 def stack_sym_delta_pages(arrays, meta, shards: List[CsxTables],
                           ncols: int, nrows_glob: int,
                           gather_off=None, col_rebase=None) -> None:
@@ -1129,11 +1205,14 @@ class ShardedCsx:
                 f"{n_dev} devices; tune with spx.rt.nr_threads={n_dev}")
         self.mat = mat
         self.symmetric = mat.symmetric
+        # vert/diag/anti-diag tables demote to delta elements up front
+        # (no-op below the fused gate); every mode below sees the result
+        shards = _demote_sr_run_tables(mat.shards)
 
         # x placement mode + halo width (static, from the column spans the
         # shards actually reference).
         self.chunk = -(-mat.ncols // n_dev)
-        spans = [_col_span(t) for t in mat.shards]
+        spans = [_col_span(t) for t in shards]
         k = 0
         for i, (lo, hi) in enumerate(spans):
             if hi > lo:
@@ -1144,7 +1223,7 @@ class ShardedCsx:
             # the window must also cover each shard's OWN row range (the
             # transposed contribution gathers x at global rows; row
             # partitions need not align with column chunks)
-            for i, t in enumerate(mat.shards):
+            for i, t in enumerate(shards):
                 r1 = t.row_start + max(t.nrows, 1)
                 k = max(k, i - t.row_start // self.chunk,
                         (r1 - 1) // self.chunk - i)
@@ -1162,10 +1241,10 @@ class ShardedCsx:
             win = (2 * k + 1) * self.chunk
             base_hs = [(i - k) * self.chunk for i in range(n_dev)]
             rebased = [_rebase_tables_window(t, b)
-                       for t, b in zip(mat.shards, base_hs)]
+                       for t, b in zip(shards, base_hs)]
             self.arrays, self.meta = stack_shards(rebased, mat.nrows, win)
             gather_off = [t.row_start - b
-                          for t, b in zip(mat.shards, base_hs)]
+                          for t, b in zip(shards, base_hs)]
             stack_sym_delta_pages(self.arrays, self.meta, rebased, win,
                                   mat.nrows, gather_off=gather_off,
                                   col_rebase=base_hs)
@@ -1178,7 +1257,7 @@ class ShardedCsx:
             self.h_arrays = self.h_meta = None
         elif mode == "halo":
             locs, halos = [], []
-            for i, t in enumerate(mat.shards):
+            for i, t in enumerate(shards):
                 lt, ht = _split_tables_for_halo(t, i, k, self.chunk)
                 locs.append(lt)
                 halos.append(ht)
@@ -1204,19 +1283,19 @@ class ShardedCsx:
             self.h_arrays, self.h_meta = h_arrays, h_meta
             self.arrays = {"local": self.arrays, "halo": h_arrays}
         else:
-            self.arrays, self.meta = stack_shards(mat.shards, mat.nrows,
+            self.arrays, self.meta = stack_shards(shards, mat.nrows,
                                                   mat.ncols)
             if self.symmetric:
                 # both delta sides paged + routed (or neither); unit-page
                 # gathers apply as-is (their z side stays XLA)
-                stack_sym_delta_pages(self.arrays, self.meta, mat.shards,
+                stack_sym_delta_pages(self.arrays, self.meta, shards,
                                       mat.ncols, mat.nrows)
             else:
                 # fused K1/K2/K3 first; legacy paged+routed fallback
-                stack_fused_delta(self.arrays, self.meta, mat.shards,
+                stack_fused_delta(self.arrays, self.meta, shards,
                                   mat.ncols)
                 if not self.meta.get("dsfused"):
-                    stack_delta_pages(self.arrays, self.meta, mat.shards,
+                    stack_delta_pages(self.arrays, self.meta, shards,
                                       mat.ncols)
                     stack_scatter_plans(self.arrays, self.meta)
             stack_unit_pages(self.arrays, self.meta, mat.ncols)

@@ -274,3 +274,58 @@ def test_sharded_fused_delta_interpret(monkeypatch):
     d2 = np.zeros(n)
     np.add.at(d2, rows2, vals2.astype(np.float64) * x[cols2])
     assert np.abs(y2 - d2).max() / np.abs(d2).max() < 1e-5
+
+
+def test_sharded_diag_class_demotes(monkeypatch):
+    """Vert/diag tables demote into the stacked (fused) delta pipeline
+    in sharded mode too: shards carry no sr!=0 run tables and the
+    4-device SPMD result matches the oracle."""
+    import jax
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import Mesh
+
+    import sparsex_tpu.ops.fused as fused
+    import sparsex_tpu.ops.pallas_kernels as pk_mod
+    import sparsex_tpu.ops.route as route_mod
+    from sparsex_tpu.config import Config
+    from sparsex_tpu.csx import CsxMatrix
+    from sparsex_tpu.parallel.shard import ShardedCsx
+    from sparsex_tpu.preprocess.xform import run_step
+
+    monkeypatch.setattr(fused, "MIN_FUSED_NNZ", 256)
+    monkeypatch.setattr(pk_mod, "MIN_PAGE_NNZ", 64)
+    monkeypatch.setattr(route_mod, "MIN_ELEMS", 64)
+    monkeypatch.setattr(pk_mod, "dia_pallas_ok", lambda: True)
+    cfg = Config.instance()
+    cfg.set("spx.tpu.value_dtype", "float32")
+    cfg.set("spx.preproc.xform", "v,d")
+    cfg.set("spx.rt.nr_threads", "4")
+    cfg.set("spx.tpu.x_mode", "replicated")
+    rng = np.random.default_rng(31)
+    n = 8192
+    j16 = np.arange(16)
+    nd = 300
+    dr = rng.integers(0, n - 16, nd); dc = rng.integers(0, n - 16, nd)
+    rows = (dr[:, None] + j16[None]).ravel()
+    cols = (dc[:, None] + j16[None]).ravel()
+    vr = rng.integers(0, n - 8, nd); vc = rng.integers(0, n, nd)
+    rows = np.concatenate([rows, (vr[:, None] + np.arange(8)[None]).ravel(),
+                           rng.integers(0, n, 20000)])
+    cols = np.concatenate([cols, np.repeat(vc, 8),
+                           rng.integers(0, n, 20000)])
+    _, u = np.unique(rows.astype(np.int64) * n + cols, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows)); rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+    assert any(run_step(rt.enc)[0] != 0 for t in mat.shards
+               for rt in t.runs), "no vert/diag tables mined"
+    sh = ShardedCsx(mat, mesh=Mesh(np.array(jax.devices()[:4]),
+                                   ("shards",)))
+    x = rng.standard_normal(n).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(sh.matvec(x))
+    dense = np.zeros(n)
+    np.add.at(dense, rows, vals.astype(np.float64) * x[cols])
+    assert np.abs(y - dense).max() / np.abs(dense).max() < 1e-5
