@@ -69,6 +69,7 @@ _VALIDATORS: Dict[str, Callable[[str], object]] = {
                                      "off": "off"}[str(s)],
     "spx.tpu.sb_pages": lambda s: {"1": 1, "2": 2, "4": 4, "8": 8}[str(s)],
     "spx.tpu.min_fused_nnz": lambda s: "" if str(s) == "" else int(s),
+    "spx.tpu.host_malloc_tune": lambda s: {"true": True, "false": False}[str(s)],
     "spx.tpu.sym_full": lambda s: {"auto": "auto", "on": "on",
                                    "off": "off"}[str(s)],
     "spx.log.file": str,
@@ -110,6 +111,7 @@ def _default_properties() -> Dict[str, str]:
         "spx.tpu.min_fused_nnz": "",   # empty = built-in default (1<<15)
         "spx.tpu.use_pallas": "auto",
         "spx.tpu.sym_full": "auto",
+        "spx.tpu.host_malloc_tune": "true",
         "spx.log.file": "",
         "spx.log.level": "warning",
     }

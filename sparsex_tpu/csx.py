@@ -49,6 +49,9 @@ class CsxMatrix:
         """Tune: partition + mine + encode + build executors
         (``spx_mat_tune`` parity, ref ``src/api/matvec.c:259``)."""
         cfg = config or Config.instance()
+        if cfg._typed("spx.tpu.host_malloc_tune"):
+            from sparsex_tpu.platform import tune_host_allocator
+            tune_host_allocator()   # recycle big host temporaries (see doc)
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals, dtype=cfg.value_dtype)

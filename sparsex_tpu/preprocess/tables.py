@@ -212,16 +212,26 @@ def pack_run_units(enc: EncType, delta: int, heads_r: np.ndarray,
         widths = np.minimum(widths, int(sizes.max()))
     else:
         widths = np.full(sizes.shape, int(sizes.max()))
-    for w in np.unique(widths):
+    uniq = np.unique(widths)
+    for w in uniq:
         mask = widths == w
         w = int(min(w, padded.shape[1]))
+        # One value copy per bucket: fancy-index only the first w columns
+        # (``padded[mask][:, :w]`` copied the full smax width first — the
+        # dominant pt cost on run-heavy matrices), and let
+        # ascontiguousarray do any dtype conversion in the same pass.
+        if uniq.size == 1:
+            sel = padded if w == padded.shape[1] else padded[:, :w]
+            hr, hc, sz = heads_r, heads_c, sizes
+        else:
+            sel = padded[mask, :w]
+            hr, hc, sz = heads_r[mask], heads_c[mask], sizes[mask]
         tables.append(RunTable(
             enc=enc, delta=int(delta),
-            rows=heads_r[mask].astype(index_dtype),
-            cols=heads_c[mask].astype(index_dtype),
-            sizes=sizes[mask].astype(index_dtype),
-            vals=np.ascontiguousarray(
-                padded[mask][:, :w]).astype(value_dtype),
+            rows=np.ascontiguousarray(hr, dtype=index_dtype),
+            cols=np.ascontiguousarray(hc, dtype=index_dtype),
+            sizes=np.ascontiguousarray(sz, dtype=index_dtype),
+            vals=np.ascontiguousarray(sel, dtype=value_dtype),
         ))
     return tables
 
@@ -239,7 +249,8 @@ def fold_diagonals(run_tables: List[RunTable], nrows_part: int, *,
     """
     keep: List[RunTable] = []
     per_offset: Dict[Tuple[bool, int], int] = {}
-    # pass 1: per-offset nnz across all diagonal-ish tables
+    # pass 1: per-offset nnz across all diagonal-ish tables (vectorized
+    # per unique offset, not per unit)
     diag_tables = []
     for t in run_tables:
         if t.enc == EncType.DIAGONAL:
@@ -252,7 +263,9 @@ def fold_diagonals(run_tables: List[RunTable], nrows_part: int, *,
             keep.append(t)
             continue
         diag_tables.append((t, anti, offs))
-        for o, s in zip(offs, t.sizes):
+        uo, inv = np.unique(offs, return_inverse=True)
+        pernnz = np.bincount(inv, weights=t.sizes.astype(np.float64))
+        for o, s in zip(uo, pernnz):
             per_offset[(anti, int(o))] = (per_offset.get((anti, int(o)), 0)
                                           + int(s))
     thresh = max(1.0, min_fill * nrows_part)
@@ -264,23 +277,29 @@ def fold_diagonals(run_tables: List[RunTable], nrows_part: int, *,
     dmask: Dict[bool, Dict[int, np.ndarray]] = {False: {}, True: {}}
     counts: Dict[bool, int] = {False: 0, True: 0}
     for t, anti, offs in diag_tables:
-        elig_mask = np.array([(anti, int(o)) in eligible for o in offs])
+        uo, inv = np.unique(offs, return_inverse=True)
+        elig_uo = np.array([(anti, int(o)) in eligible for o in uo])
+        elig_mask = elig_uo[inv]
         if not elig_mask.any():
             keep.append(t)
             continue
         lane = np.arange(t.width, dtype=np.int64)
-        sel = np.flatnonzero(elig_mask)
-        for u in sel:
-            o = int(offs[u])
+        # one vectorized scatter per (offset, table) group: all units on
+        # one offset write disjoint row ranges of the same dense array
+        for oi in np.flatnonzero(elig_uo):
+            o = int(uo[oi])
             dv = dense[anti].get(o)
             if dv is None:
                 dv = dense[anti][o] = np.zeros(nrows_part, dtype=value_dtype)
                 dmask[anti][o] = np.zeros(nrows_part, dtype=bool)
-            sz = int(t.sizes[u])
-            ridx = int(t.rows[u]) + t.delta * lane[:sz]
-            dv[ridx] = t.vals[u, :sz]
+            sel = np.flatnonzero(inv == oi)
+            szs = t.sizes[sel].astype(np.int64)
+            valid = lane[None, :] < szs[:, None]
+            ridx = (t.rows[sel].astype(np.int64)[:, None]
+                    + t.delta * lane[None, :])[valid]
+            dv[ridx] = t.vals[sel][valid]
             dmask[anti][o][ridx] = True
-            counts[anti] += sz
+            counts[anti] += int(szs.sum())
         if not elig_mask.all():
             m = ~elig_mask
             keep.append(RunTable(enc=t.enc, delta=t.delta, rows=t.rows[m],
