@@ -47,6 +47,13 @@ MAX_DEST_ROWS = 16384           # D' cap: n_dest <= 2,097,152
 CHUNK_SRC_ROWS = 16384          # source rows per pipeline chunk
 MAX_FOLDS = 8                   # network instances per chunk
 MIN_ELEMS = 1 << 15             # below this the XLA scatter is cheaper
+# A fold instance's cost is ~flat (K2's color-grid transposes, ~50-60 us
+# measured r3/r4) regardless of how few edges it carries, while a
+# residual element costs ~13 ns (serialized gather + scatter-add).  A
+# fold under ~4,500 edges is cheaper as residual; 4096 leaves margin.
+# Measured on the blocky bench matrix: fold-1 carries 1,992 edges yet
+# cost a full G1+T1+K2 pass (~60 us) before this demotion.
+RES_DEMOTE_ELEMS = 4096
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -149,6 +156,7 @@ def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
     metas: List[Tuple] = []
     arrays: List[Dict[str, np.ndarray]] = []
     res_pos_all: List[np.ndarray] = []
+    demoted = 0          # deliberately-residual edges (tiny folds)
 
     if ranges is not None:
         pass          # caller-supplied chunk boundaries (fused pipeline)
@@ -183,8 +191,17 @@ def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
                 res_idx = sel[over]
                 res[res_idx] = True
                 keep = ~over
+                sel = sel[keep]
                 pos, d, kf = pos[keep], d[keep], kf[keep]
             if pos.size == 0:
+                continue
+            if f > 0 and not uniform_chunks and pos.size < RES_DEMOTE_ELEMS:
+                # tiny overflow fold: one more network instance costs a
+                # ~flat K2 pass; these few edges are cheaper as residual
+                # elements.  Skipped for uniform_chunks: the stacked SPMD
+                # planner needs identical instance slots across shards.
+                res[sel] = True
+                demoted += pos.size
                 continue
             K = int(kf.max()) + 1
 
@@ -235,7 +252,10 @@ def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
 
     res_pos = (np.concatenate(res_pos_all) if res_pos_all
                else np.zeros(0, dtype=np.int64))
-    if res_pos.size > n_valid * max_res_frac:
+    # the pay-off test counts only true over-capacity residuals: demoted
+    # tiny folds are a cost CHOICE (cheaper as residual than as another
+    # flat-cost instance), not a capacity failure
+    if res_pos.size - demoted > n_valid * max_res_frac:
         # too much residual: the plan would not pay off.  Say so — the
         # caller falls back to the serialized XLA scatter (~17x slower
         # per element), which must never happen silently.

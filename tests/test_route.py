@@ -454,3 +454,31 @@ def test_chunk_ranges_fold_boundaries():
         np.add.at(y, res_dest, src[res_pos])
         ref = _oracle(dsorted, src, n_dest)
         assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_tiny_fold_demoted_to_residual():
+    """A handful of over-128-per-page edges must NOT spawn a second
+    network instance (K2's cost is ~flat per instance); they ride the
+    residual scatter instead.  uniform_chunks keeps them as an instance
+    (the stacked SPMD planner needs identical slots across shards)."""
+    rng = np.random.default_rng(11)
+    M, n_dest = 128 * 512, 500_000   # ~17 edges/page baseline
+    dest = rng.integers(0, n_dest, M)
+    # overload one dest page with ~600 extra edges -> a real fold-1
+    hot = 37 * route.L
+    over_idx = rng.choice(M, 600, replace=False)
+    dest[over_idx] = hot + rng.integers(0, route.L, 600)
+    src = rng.standard_normal(M).astype(np.float32)
+
+    ranges = [(0, M // route.L)]    # one chunk, as the fused planners cut
+    y, plan = _run_np(dest, src, n_dest, min_elems=64, ranges=ranges)
+    metas, _, res_pos, _ = plan
+    assert len(metas) == 1                      # fold-1 demoted
+    assert res_pos.size >= 400                  # the overflow edges
+    ref = _oracle(dest, src, n_dest)
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-6
+
+    plan_u = route.build_scatter_plan(dest, n_dest, min_elems=64,
+                                      uniform_chunks=True)
+    assert plan_u is not None
+    assert len(plan_u[0]) > 1                   # kept under uniform_chunks
