@@ -400,6 +400,7 @@ def build_fused_delta(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
                                     ranges=ranges)
     if plan is None:
         return None, None
+    plan = route.demote_small_instances(plan, dest)
     metas, arrs_list, res_pos, res_dest = plan
     if len(metas) > MAX_INSTANCES:
         return None, None
@@ -563,6 +564,7 @@ def build_fused_run(cols_u: np.ndarray, rows_u: np.ndarray,
                                            uniform_chunks=True)
     if plan_sc is None:
         return None, None, None, 0
+    plan_sc = route.demote_small_instances(plan_sc, dest)
     metas, arrs_list, res_pos, res_dest = plan_sc
     if len(metas) > MAX_INSTANCES:
         return None, None, None, 0
@@ -688,6 +690,7 @@ def merge_segment_plan(dest_list, nrows_part: int, max_k: int = 8,
                                     ranges=ranges, max_res_frac=0.1)
     if plan is None:
         return None
+    plan = route.demote_small_instances(plan, dest)
     metas, arrs_list, res_pos, res_dest = plan
     if len(metas) > MAX_INSTANCES:
         return None
@@ -1434,6 +1437,7 @@ def plan_partial_segment(dest_flat: np.ndarray, n_dest: int,
                                         uniform_chunks=True)
     if plan is None:
         return None
+    plan = route.demote_small_instances(plan, dest_flat)
     metas, arrs_list, res_pos, res_dest = plan
     if len(metas) > MAX_INSTANCES:
         return None

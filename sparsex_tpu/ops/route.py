@@ -156,7 +156,6 @@ def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
     metas: List[Tuple] = []
     arrays: List[Dict[str, np.ndarray]] = []
     res_pos_all: List[np.ndarray] = []
-    demoted = 0          # deliberately-residual edges (tiny folds)
 
     if ranges is not None:
         pass          # caller-supplied chunk boundaries (fused pipeline)
@@ -194,14 +193,6 @@ def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
                 sel = sel[keep]
                 pos, d, kf = pos[keep], d[keep], kf[keep]
             if pos.size == 0:
-                continue
-            if f > 0 and not uniform_chunks and pos.size < RES_DEMOTE_ELEMS:
-                # tiny overflow fold: one more network instance costs a
-                # ~flat K2 pass; these few edges are cheaper as residual
-                # elements.  Skipped for uniform_chunks: the stacked SPMD
-                # planner needs identical instance slots across shards.
-                res[sel] = True
-                demoted += pos.size
                 continue
             K = int(kf.max()) + 1
 
@@ -252,10 +243,7 @@ def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
 
     res_pos = (np.concatenate(res_pos_all) if res_pos_all
                else np.zeros(0, dtype=np.int64))
-    # the pay-off test counts only true over-capacity residuals: demoted
-    # tiny folds are a cost CHOICE (cheaper as residual than as another
-    # flat-cost instance), not a capacity failure
-    if res_pos.size - demoted > n_valid * max_res_frac:
+    if res_pos.size > n_valid * max_res_frac:
         # too much residual: the plan would not pay off.  Say so — the
         # caller falls back to the serialized XLA scatter (~17x slower
         # per element), which must never happen silently.
@@ -268,6 +256,55 @@ def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
         return None
     res_dest = dest[res_pos].astype(np.int32)
     return tuple(metas), arrays, res_pos.astype(np.int32), res_dest
+
+
+def demote_small_instances(plan, dest: np.ndarray,
+                           min_elems: int = RES_DEMOTE_ELEMS):
+    """Convert route instances carrying fewer than ``min_elems`` edges
+    into residual elements.
+
+    An instance's runtime cost is ~flat (G1 grid + T1 + K2's color-grid
+    transposes, ~50-60 us measured) no matter how few edges it carries,
+    while a residual element costs ~13 ns (serialized gather +
+    scatter-add); below ~4,500 edges the residual is cheaper.  The blocky
+    bench matrix spent a full pipeline pass on a 1,992-edge overflow
+    fold, and the diag-class matrix on two sub-4k fold chunks.
+
+    Called by the single-chip fused planners AFTER
+    :func:`build_scatter_plan` (the stacked SPMD planner must not demote:
+    shard slots have to stay identical).  At least one instance is kept,
+    and the total demoted volume is capped at ``4 * min_elems`` so a
+    pathological plan cannot silently become one big serialized scatter.
+    """
+    metas, arrs, res_pos, res_dest = plan
+    if len(metas) <= 1:
+        return plan
+    counts = [int((a["g1"] != -1).sum()) for a in arrs]
+    victims = [i for i, c in enumerate(counts) if c < min_elems]
+    # keep at least one instance; cap total demoted volume
+    if len(victims) == len(metas):
+        victims.remove(max(victims, key=lambda i: counts[i]))
+    victims.sort(key=lambda i: counts[i])
+    total, chosen = 0, []
+    for i in victims:
+        if total + counts[i] > 4 * min_elems:
+            break
+        total += counts[i]
+        chosen.append(i)
+    if not chosen:
+        return plan
+    chosen_set = set(chosen)
+    new_pos = [res_pos.astype(np.int64)]
+    for i in chosen:
+        g1 = arrs[i]["g1"]
+        S1c, a0 = metas[i][0], metas[i][7]
+        r, c = np.nonzero(g1[:S1c] != -1)
+        new_pos.append((a0 + r) * L + g1[:S1c][r, c].astype(np.int64))
+    res_pos = np.concatenate(new_pos)
+    res_dest = dest[res_pos].astype(np.int32)
+    metas = tuple(m for i, m in enumerate(metas) if i not in chosen_set)
+    arrs = [a for i, a in enumerate(arrs) if i not in chosen_set]
+    return metas, arrs, res_pos.astype(np.int32), res_dest
 
 
 # ---------------------------------------------------------------------------

@@ -128,12 +128,17 @@ def test_fused_multi_fold_instances():
     route instances feeding one K3)."""
     rng = np.random.default_rng(3)
     n = 1 << 14
-    # ~380 elements into the first 128-row dest page -> ~3 capacity
-    # folds; every page-0 column stays clustered (pageable) so the folds
-    # are routed, not spilled; the background avoids page 0 entirely
-    hotpage = rng.integers(0, 128, 400)         # rows 0..127
-    hotcols = rng.integers(0, 4096, 400)
-    rows = np.concatenate([hotpage, rng.integers(128, n, 6000)])
+    # ~280 elements into each of the first 40 dest pages -> ~3 capacity
+    # folds, the first two holding >4096 edges each (so they survive
+    # demote_small_instances; the <128-per-page third fold is demoted);
+    # hot columns stay clustered (pageable) so the folds are routed, not
+    # spilled; the background avoids the hot pages entirely
+    npages_hot, per_page = 40, 280
+    hotpage = (np.repeat(np.arange(npages_hot), per_page) * 128
+               + rng.integers(0, 128, npages_hot * per_page))
+    hotcols = rng.integers(0, 4096, npages_hot * per_page)
+    rows = np.concatenate([hotpage,
+                           rng.integers(npages_hot * 128, n, 6000)])
     cols = np.concatenate([hotcols, rng.integers(0, n, 6000)])
     key = rows.astype(np.int64) * n + cols
     _, u = np.unique(key, return_index=True)

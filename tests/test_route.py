@@ -457,10 +457,10 @@ def test_chunk_ranges_fold_boundaries():
 
 
 def test_tiny_fold_demoted_to_residual():
-    """A handful of over-128-per-page edges must NOT spawn a second
-    network instance (K2's cost is ~flat per instance); they ride the
-    residual scatter instead.  uniform_chunks keeps them as an instance
-    (the stacked SPMD planner needs identical slots across shards)."""
+    """A handful of over-128-per-page edges must NOT keep a second
+    network instance (K2's cost is ~flat per instance): after
+    demote_small_instances they ride the residual scatter, and the
+    combined result still matches the oracle."""
     rng = np.random.default_rng(11)
     M, n_dest = 128 * 512, 500_000   # ~17 edges/page baseline
     dest = rng.integers(0, n_dest, M)
@@ -471,14 +471,40 @@ def test_tiny_fold_demoted_to_residual():
     src = rng.standard_normal(M).astype(np.float32)
 
     ranges = [(0, M // route.L)]    # one chunk, as the fused planners cut
-    y, plan = _run_np(dest, src, n_dest, min_elems=64, ranges=ranges)
-    metas, _, res_pos, _ = plan
+    plan = route.build_scatter_plan(dest, n_dest, min_elems=64,
+                                    ranges=ranges)
+    assert plan is not None and len(plan[0]) >= 2  # folds are instances
+    plan = route.demote_small_instances(plan, dest)
+    metas, arrays, res_pos, res_dest = plan
     assert len(metas) == 1                      # fold-1 demoted
     assert res_pos.size >= 400                  # the overflow edges
+    y = route.apply_scatter_plan_np(metas, arrays, src, n_dest)
+    np.add.at(y, res_dest, src[res_pos])
     ref = _oracle(dest, src, n_dest)
     assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-6
 
-    plan_u = route.build_scatter_plan(dest, n_dest, min_elems=64,
-                                      uniform_chunks=True)
-    assert plan_u is not None
-    assert len(plan_u[0]) > 1                   # kept under uniform_chunks
+
+def test_demote_small_instances_invariants():
+    """Keeps at least one instance, caps total demoted volume, and is a
+    no-op on single-instance plans."""
+    rng = np.random.default_rng(12)
+    M, n_dest = 128 * 256, 2_000_000   # very sparse: tiny instances
+    dest = rng.integers(0, n_dest, M)
+    src = rng.standard_normal(M).astype(np.float32)
+    plan = route.build_scatter_plan(dest, n_dest, min_elems=64)
+    assert plan is not None
+    n_inst = len(plan[0])
+    plan2 = route.demote_small_instances(plan, dest,
+                                         min_elems=10 ** 9)  # demote all
+    assert len(plan2[0]) >= 1                   # never empties the plan
+    counts = [int((a["g1"] != -1).sum()) for a in plan[1]]
+    demoted = sum(counts) - sum(
+        int((a["g1"] != -1).sum()) for a in plan2[1])
+    assert demoted <= 4 * 10 ** 9               # cap honored (trivially)
+    metas, arrays, res_pos, res_dest = plan2
+    y = route.apply_scatter_plan_np(metas, arrays, src, n_dest)
+    np.add.at(y, res_dest, src[res_pos])
+    ref = _oracle(dest, src, n_dest)
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-6
+    if n_inst == 1:
+        assert plan2[0] == plan[0]
