@@ -259,7 +259,7 @@ def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
 
 
 def demote_small_instances(plan, dest: np.ndarray,
-                           min_elems: int = RES_DEMOTE_ELEMS):
+                           min_elems: int = None):
     """Convert route instances carrying fewer than ``min_elems`` edges
     into residual elements.
 
@@ -276,6 +276,8 @@ def demote_small_instances(plan, dest: np.ndarray,
     and the total demoted volume is capped at ``4 * min_elems`` so a
     pathological plan cannot silently become one big serialized scatter.
     """
+    if min_elems is None:
+        min_elems = RES_DEMOTE_ELEMS   # late-bound: tests tune the module
     metas, arrs, res_pos, res_dest = plan
     if len(metas) <= 1:
         return plan

@@ -226,6 +226,10 @@ def test_fuzz_fused_paths(seed, sbp, monkeypatch):
     monkeypatch.setattr(fused, "MIN_FUSED_NNZ", 256)
     monkeypatch.setattr(pk, "MIN_PAGE_NNZ", 64)
     monkeypatch.setattr(route_mod, "MIN_ELEMS", 64)
+    # half the seeds keep multi-instance plans intact (demotion off at
+    # 64), half fuzz the demoted-to-residual paths (default threshold)
+    if seed % 2:
+        monkeypatch.setattr(route_mod, "RES_DEMOTE_ELEMS", 64)
     monkeypatch.setattr(pk, "dia_pallas_ok", lambda: True)
     cfg = Config.instance()
     cfg.set("spx.tpu.value_dtype", "float32")
