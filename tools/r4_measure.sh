@@ -12,7 +12,7 @@ timeout 3000 python bench.py 2>&1 | tee -a "$OUT/bench.log"
 for wl in headline blocky symmetric diagc; do
   echo "== profile $wl ==" | tee "$OUT/profile_$wl.log"
   timeout 1800 python tools/profile_fused.py --workload "$wl" \
-    --json "$OUT/PROFILE_r04.json" 2>&1 | tee -a "$OUT/profile_$wl.log"
+    --json PROFILE_r04.json 2>&1 | tee -a "$OUT/profile_$wl.log"
 done
 
 # sb_pages sweep on the two run-heavy workloads
