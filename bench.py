@@ -625,6 +625,16 @@ def run_benches():
 
     if _force_cpu():
         jax.config.update("jax_platforms", "cpu")
+    try:
+        # persistent XLA compile cache: repeat bench runs (builder then
+        # driver) skip the 20-60s per-signature compiles.  Non-fatal if
+        # the backend doesn't support it.
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception as e:  # noqa: BLE001
+        log(f"compilation cache unavailable: {e}")
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform}")
 
