@@ -586,3 +586,34 @@ def test_diag_class_demotes_to_fused_delta(monkeypatch):
     np.add.at(ref, rows, vals.astype(np.float64) *
               x.astype(np.float64)[cols])
     assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_fused_delta_demotes_tiny_folds():
+    """A single hot dest page (a few hundred overflow edges) must NOT
+    keep extra route instances in build_fused_delta's plan: the overflow
+    folds ride the residual scatter (route.demote_small_instances), and
+    the combined pipeline still matches the oracle."""
+    rng = np.random.default_rng(21)
+    n = 1 << 14
+    # ~500 extra elements into dest page 3 (rows 384..511): ~4 folds,
+    # each far under the demotion threshold
+    hotr = rng.integers(384, 512, 520)
+    hotc = rng.integers(0, 4096, 520)
+    rows = np.concatenate([hotr, rng.integers(512, n, 9000)])
+    cols = np.concatenate([hotc, rng.integers(0, n, 9000)])
+    key = rows.astype(np.int64) * n + cols
+    _, u = np.unique(key, return_index=True)
+    rows, cols = rows[u], cols[u]
+    o = np.lexsort((cols, rows))
+    rows, cols = rows[o], cols[o]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    meta, arrays = fused.build_fused_delta(cols.astype(np.int64),
+                                           rows.astype(np.int64), vals,
+                                           n, n, max_k=128)
+    assert meta is not None
+    assert len(meta[3]) == 1, "tiny overflow folds must be demoted"
+    assert meta[4] >= 300, "demoted edges ride the residual"
+    x = rng.standard_normal(n).astype(np.float32)
+    acc = _run(meta, arrays, [], [], x, n, n)
+    want = _oracle(n, n, rows, cols, vals, [], [], x)
+    assert np.abs(acc - want).max() / np.abs(want).max() < 1e-5
