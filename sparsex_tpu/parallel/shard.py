@@ -691,8 +691,8 @@ def stack_fused_delta(arrays, meta, shards: List[CsxTables],
     shard failing any step bails ALL shards back to the legacy
     paged/routed path (one SPMD program)."""
     from sparsex_tpu.ops import route
-    from sparsex_tpu.ops.fused import (DELTA_TILE, K1_GT, MIN_FUSED_NNZ,
-                                       PAGE, _lane_place_layout,
+    from sparsex_tpu.ops.fused import (DELTA_TILE, K1_GT, PAGE,
+                                       _lane_place_layout, min_fused_nnz,
                                        pack_k1_meta, sb_pages)
     from sparsex_tpu.ops.pallas_kernels import build_delta_pages
 
@@ -717,7 +717,7 @@ def stack_fused_delta(arrays, meta, shards: List[CsxTables],
     reals = [t.delta is not None and t.delta.nnz for t in shards]
     if not any(reals):
         return
-    if any(r and r < MIN_FUSED_NNZ for r in reals):
+    if any(r and r < min_fused_nnz() for r in reals):
         return                          # small shard: keep legacy paths
 
     # --- phase 1: per-shard layouts, lp for all or sl for all ---

@@ -215,11 +215,12 @@ def test_sharded_fused_delta_interpret(monkeypatch):
     from sparsex_tpu.csx import CsxMatrix
     from sparsex_tpu.parallel.shard import ShardedCsx
 
-    monkeypatch.setattr(fused, "MIN_FUSED_NNZ", 256)
+    del fused  # gate driven via config, not monkeypatch (VERDICT r4 #7)
     monkeypatch.setattr(pk_mod, "MIN_PAGE_NNZ", 64)
     monkeypatch.setattr(route_mod, "MIN_ELEMS", 64)
     monkeypatch.setattr(pk_mod, "dia_pallas_ok", lambda: True)
     cfg = Config.instance()
+    cfg.set("spx.tpu.min_fused_nnz", "256")
     cfg.set("spx.tpu.value_dtype", "float32")
     cfg.set("spx.preproc.xform", "none")
     cfg.set("spx.rt.nr_threads", "4")
