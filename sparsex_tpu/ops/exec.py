@@ -591,7 +591,8 @@ class CsxExecutor:
                         "plans:\n%s", traceback.format_exc())
         # pop host-only stashes regardless of merge outcome
         if "fused" in arrays:
-            for k in ("_dest", "_tile_group", "_cols_at_pos"):
+            for k in ("_dest", "_tile_group", "_cols_at_pos",
+                      "_vals_flat"):
                 arrays["fused"].pop(k, None)
         for a in run_arrays:
             if "frun" in a:
@@ -738,14 +739,19 @@ class CsxExecutor:
             b0, b1 = bounds[si], bounds[si + 1]
             if kind == "delta":
                 f = arrays["fused"]
-                low = np.asarray(f["mg"]) & 0x3FFF
-                staged_mg.append(
-                    (f, (low | ((ident + 1) << 16)).astype(np.int32)))
+                for mk in ("mg", "mg2"):   # hybrid tail carries mg2
+                    if mk not in f:
+                        continue
+                    low = np.asarray(f[mk]) & 0x3FFF
+                    staged_mg.append(
+                        (f, mk,
+                         (low | ((ident + 1) << 16)).astype(np.int32)))
             elif kind == "run":
                 fr = run_arrays[ids[0]]["frun"]
                 low = np.asarray(fr["mg"]) & 0x3FFF
                 staged_mg.append(
-                    (fr, (low | ((ident + 1) << 16)).astype(np.int32)))
+                    (fr, "mg",
+                     (low | ((ident + 1) << 16)).astype(np.int32)))
             if res_pos is not None and res_pos.size:
                 m = (res_pos >= b0 * 128) & (res_pos < b1 * 128)
                 if not m.any():
@@ -755,7 +761,10 @@ class CsxExecutor:
                 if kind == "delta":
                     f = arrays["fused"]
                     cap = f["_cols_at_pos"]
-                    vflat = np.asarray(f["vals"]).reshape(-1)
+                    # merged-order flat values (hybrid layouts interleave
+                    # two K1 parts; per-part "vals" would misindex)
+                    vflat = (f["_vals_flat"] if "_vals_flat" in f
+                             else np.asarray(f["vals"]).reshape(-1))
                     marrays["dres_cols"] = np.minimum(
                         cap[lp_], self.tables.ncols - 1).astype(np.int32)
                     marrays["dres_vals"] = vflat[lp_]
@@ -777,8 +786,8 @@ class CsxExecutor:
                     res_desc.append(("bres", bi, r))
         # merge fully planned: NOW apply the staged mg repacks and drop
         # the (dead) per-segment instance arrays
-        for tgt, new_mg in staged_mg:
-            tgt["mg"] = new_mg
+        for tgt, mk, new_mg in staged_mg:
+            tgt[mk] = new_mg
         if any(k == "delta" for k, *_ in seg_desc):
             f = arrays["fused"]
             for i in range(len(dfused_entry[1][3])):

@@ -65,6 +65,7 @@ def min_fused_nnz() -> int:
 # ---------------------------------------------------------------------------
 
 SB_PAGES = 4   # lane-placed superblock: pages per tile window (default)
+TAIL_SBP = 32  # tail part's superblock (big classes absorb lane clumps)
 
 
 def sb_pages() -> int:
@@ -83,73 +84,129 @@ def sb_pages() -> int:
 
 
 def _lane_place_layout(cols, rows, vals, fold, ncols: int,
-                       nrows_part: int):
+                       nrows_part: int, sbp: int = None,
+                       n_rounds: int = 1, exact_last: bool = False,
+                       fill_gate: float = 2.0):
     """Lane-placed delta layout: each element sits at the LANE equal to
     its column's low 7 bits and every tile's x window is ONE aligned
     SB_PAGES-page block, so K1 does a single page DMA and SB_PAGES
     sublane gathers per tile (vs q page DMAs and 24q lane-shuffle ops).
 
-    Placement: within each (fold, superblock, lane) class, elements rank
-    by column; rank%8 is the sub-row and rank//8 the class tile level.
-    Tiles are (fold, superblock)-pure, so page spans never spill; the
-    only failure mode is lane-skew fill (< 50% -> caller falls back to
-    the dense-tile lane-shuffle layout).
+    Placement (round 5): multi-ROUND capped packing.  The old one-shot
+    rule sized every (fold, superblock) group by its WORST lane class
+    (``ceil(max/8)`` tiles), so any lane clumping — 8-deep vertical-run
+    demotions, Poisson tails on random singles — padded every other
+    lane and fill fell under the 50% gate (headline ran at 50%, diagc
+    fell all the way to the q=8 lane-shuffle style + 16k serialized
+    leftovers, PROFILE_r05).  Now each round caps a group's tile count
+    near its MEAN occupancy (``ceil(total/1024)``), elements beyond the
+    cap re-enter the next round (whose groups contain only the
+    overflow, so its mean IS the clump remnant), and the final round is
+    exact, guaranteeing full placement.  Tiles order fold-major (chunk
+    cuts need fold contiguity), then round, then superblock (K1's
+    slot-stride DMA reuse wants sb runs adjacent).
 
     Returns (p0, low, vals3, dest, tile_group, q, npages, leftover_sel,
     cols_at_pos) — ``p0`` is the tile's superblock index (block units),
     ``low`` the within-window row (page*8 + source row, < 32).
     """
     m = cols.size
-    sbp = sb_pages()
+    if sbp is None:
+        sbp = sb_pages()
     npages = -(-ncols // PAGE)
     sb_cols = sbp * PAGE
-    lane = cols & (L - 1)
-    sb = cols // sb_cols
-    order = np.lexsort((cols, lane, sb, fold))
-    f_s, b_s, l_s, c_s = fold[order], sb[order], lane[order], cols[order]
-    new_cls = np.empty(m, dtype=bool)
-    new_cls[0] = True
-    np.logical_or.reduce(
-        [f_s[1:] != f_s[:-1], b_s[1:] != b_s[:-1], l_s[1:] != l_s[:-1]],
-        out=new_cls[1:])
-    starts = np.flatnonzero(new_cls)
-    ci = np.cumsum(new_cls) - 1
-    pos_in_cls = np.arange(m, dtype=np.int64) - starts[ci]
-    sub_row = pos_in_cls % 8
-    lvl = pos_in_cls // 8                 # tile level within the group
+    lane_all = cols & (L - 1)
+    sb_all = cols // sb_cols
 
-    # dense (fold, superblock) group ids + tiles per group
-    new_grp = np.empty(m, dtype=bool)
-    new_grp[0] = True
-    np.logical_or(f_s[1:] != f_s[:-1], b_s[1:] != b_s[:-1],
-                  out=new_grp[1:])
-    gi = np.cumsum(new_grp) - 1
-    n_grp = int(gi[-1]) + 1
-    tiles_per_grp = np.zeros(n_grp, dtype=np.int64)
-    np.maximum.at(tiles_per_grp, gi, lvl + 1)
-    T = int(tiles_per_grp.sum())
-    if T * DELTA_TILE > m * 2:            # fill < 50%: lane skew
-        return None
-    grp_base = np.concatenate([[0], np.cumsum(tiles_per_grp)[:-1]])
-    tile = grp_base[gi] + lvl
+    N_ROUNDS = n_rounds
+    pend = np.arange(m, dtype=np.int64)
+    el_tile = np.zeros(m, dtype=np.int64)   # provisional tile id
+    el_sub = np.zeros(m, dtype=np.int64)    # (leftovers keep 0: unused)
+    tile_fold_l: List[np.ndarray] = []      # per-tile fold, in id order
+    tile_sb_l: List[np.ndarray] = []
+    tb = 0                                  # running tile base
+    for rnd in range(N_ROUNDS):
+        if pend.size == 0:
+            break
+        f = fold[pend]
+        b = sb_all[pend]
+        lx = lane_all[pend]
+        c = cols[pend]
+        order = np.lexsort((c, lx, b, f))
+        p = pend[order]
+        f, b, lx = f[order], b[order], lx[order]
+        n = p.size
+        new_cls = np.empty(n, dtype=bool)
+        new_cls[0] = True
+        np.logical_or.reduce(
+            [f[1:] != f[:-1], b[1:] != b[:-1], lx[1:] != lx[:-1]],
+            out=new_cls[1:])
+        starts = np.flatnonzero(new_cls)
+        ci = np.cumsum(new_cls) - 1
+        pos_in_cls = np.arange(n, dtype=np.int64) - starts[ci]
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        np.logical_or(f[1:] != f[:-1], b[1:] != b[:-1], out=new_grp[1:])
+        gi = np.cumsum(new_grp) - 1
+        n_grp = int(gi[-1]) + 1
+        grp_count = np.bincount(gi, minlength=n_grp)
+        # per-group worst class (exact tile need)
+        cls_size = np.diff(np.concatenate([starts, [n]]))
+        cls_grp = gi[starts]
+        max_cls = np.zeros(n_grp, dtype=np.int64)
+        np.maximum.at(max_cls, cls_grp, cls_size)
+        exact = -(-max_cls // 8)
+        if exact_last and rnd == N_ROUNDS - 1:
+            R_g = exact
+        else:
+            # mean occupancy cap; never below 1 tile, never above exact
+            R_g = np.minimum(exact,
+                             np.maximum(1, -(-grp_count // DELTA_TILE)))
+        cap = R_g[gi] * 8
+        ok = pos_in_cls < cap
+        lvl = pos_in_cls[ok] // 8
+        sub = pos_in_cls[ok] % 8
+        grp_base = np.concatenate([[0], np.cumsum(R_g)[:-1]])
+        el_tile[p[ok]] = tb + grp_base[gi[ok]] + lvl
+        el_sub[p[ok]] = sub
+        grp_first = np.flatnonzero(new_grp)
+        tile_fold_l.append(np.repeat(f[grp_first], R_g))
+        tile_sb_l.append(np.repeat(b[grp_first], R_g))
+        tb += int(R_g.sum())
+        pend = p[~ok]
 
-    p0 = np.zeros(T, dtype=np.int32)
-    p0[tile] = b_s        # every tile of a group shares its superblock
-    tg = np.zeros(T, dtype=np.int64)
-    tg[tile] = f_s
+    T = tb
+    placed_m = m - pend.size
+    if T == 0 or T * DELTA_TILE > placed_m * fill_gate:
+        return None                          # lane skew beyond the gate
+    tile_fold = np.concatenate(tile_fold_l)
+    tile_sb = np.concatenate(tile_sb_l)
+    # fold-major final order (chunk cuts need fold-contiguous tiles);
+    # stable sort keeps (round, sb) order within a fold
+    perm = np.argsort(tile_fold, kind="stable")
+    remap = np.empty(T, dtype=np.int64)
+    remap[perm] = np.arange(T)
+    tile_fold = tile_fold[perm]
+    tile_sb = tile_sb[perm]
+    tile_of = remap[el_tile]                # per-element final tile
 
+    p0 = tile_sb.astype(np.int32)
+    tg = tile_fold.astype(np.int64)
     low = np.zeros((T, 8, L), dtype=np.int32)
     vals3 = np.zeros((T, 8, L), dtype=vals.dtype)
     dest = np.full((T, 8, L), nrows_part, dtype=np.int64)
     cols_at_pos = np.zeros((T, 8, L), dtype=np.int64)
-    off = c_s - b_s * sb_cols             # < sbp * 1024
-    low[tile, sub_row, l_s] = off // L    # page*8 + source row, < 8*sbp
-    vals3[tile, sub_row, l_s] = vals[order]
-    dest[tile, sub_row, l_s] = rows[order]
-    cols_at_pos[tile, sub_row, l_s] = c_s
-    leftover_sel = np.zeros(0, dtype=np.int64)
+    placed = np.ones(m, dtype=bool)
+    placed[pend] = False
+    sel = np.flatnonzero(placed)
+    off = cols - sb_all * sb_cols           # < sbp * 1024
+    low[tile_of[sel], el_sub[sel], lane_all[sel]] = (
+        off[sel] // L).astype(np.int32)
+    vals3[tile_of[sel], el_sub[sel], lane_all[sel]] = vals[sel]
+    dest[tile_of[sel], el_sub[sel], lane_all[sel]] = rows[sel]
+    cols_at_pos[tile_of[sel], el_sub[sel], lane_all[sel]] = cols[sel]
     return (p0, low, vals3, dest.reshape(-1), tg, sbp, int(npages),
-            leftover_sel, cols_at_pos.reshape(-1))
+            pend, cols_at_pos.reshape(-1))
 
 
 def _run_lane_place(cols_u, rows_u, vals2d, W: int, ncols: int,
@@ -343,13 +400,39 @@ def build_fused_delta(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
     # fold per element (dest-page rank // 128), computed pre-spill; the
     # (fold, col) sort makes folds contiguous AND col-local within a fold
     fold = route._rank_within(rows // L) // L
+    parts: List[Dict] = []
+    style = None
+    leftover = np.zeros(0, dtype=np.int64)
     lp = _lane_place_layout(cols, rows, vals, fold, ncols, nrows_part)
     if lp is not None:
-        (plo_arr, low, vals3, dest, tile_group, q_val, npages_val,
-         leftover, cols_at_pos) = lp
+        (plo_arr, low, vals3, dest1, tile_group, q_val, npages_val,
+         left1, cols_at_pos) = lp
         style = "lp"
-        T = plo_arr.size
-    else:
+        parts.append(dict(plo=plo_arr, low=low, vals3=vals3, dest=dest1,
+                          tg=tile_group, q=q_val, npages=npages_val,
+                          cap=cols_at_pos))
+        if left1.size:
+            # TAIL part (round 5): the mean-cap round's overflow — lane
+            # clumps (vertical-run demotions) and Poisson tails — gets
+            # its own lane-placed region with a 32-page superblock, so
+            # the classes are 8x bigger and the exact cap packs them
+            # tightly.  Both K1 outputs re-interleave fold-major via
+            # the static slice list in meta[7], so the route planner
+            # still sees ONE fold-contiguous grid (no extra instances).
+            # Before this, headline carried 376 pad-tiles (fill 50%)
+            # and diagc fell to the q=8 lane-shuffle style + 16k
+            # serialized leftovers (PROFILE_r05).
+            lp2 = _lane_place_layout(
+                cols[left1], rows[left1], vals[left1], fold[left1],
+                ncols, nrows_part, sbp=TAIL_SBP, n_rounds=2,
+                exact_last=True, fill_gate=float("inf"))
+            if lp2 is None or lp2[7].size:
+                parts, style = [], None   # hybrid failed: whole-stream sl
+            else:
+                parts.append(dict(plo=lp2[0], low=lp2[1], vals3=lp2[2],
+                                  dest=lp2[3], tg=lp2[4], q=lp2[5],
+                                  npages=lp2[6], cap=lp2[8]))
+    if style is None:
         key = fold * (cols.max() + 2) + cols
         rep, leftover = build_delta_pages(
             cols, rows, vals, ncols, nrows_part, sort_key=key,
@@ -361,25 +444,65 @@ def build_fused_delta(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
         plo_arr = rep["plo"]
         low = rep["sl"].reshape(T, 8, L).astype(np.int32)
         vals3 = rep["vals"].reshape(T, 8, L)
-        dest = np.asarray(rep["rows"], dtype=np.int64)
+        dest1 = np.asarray(rep["rows"], dtype=np.int64)
         tile_group = rep.pop("tile_group")
         q_val, npages_val = int(rep["q"]), int(rep["npages"])
         tile_idx = np.arange(T * DELTA_TILE) // DELTA_TILE
         cols_at_pos = (low.reshape(-1).astype(np.int64)
                        + plo_arr[tile_idx].astype(np.int64) * PAGE)
+        parts = [dict(plo=plo_arr, low=low, vals3=vals3, dest=dest1,
+                      tg=tile_group, q=q_val, npages=npages_val,
+                      cap=cols_at_pos)]
 
     # slot-strided physical tile order within each fold span (K1 DMA
     # reuse; see _stride_tiles) — permutes every per-tile stream
     # consistently BEFORE route planning, so the plan, G1 wires and
     # residual positions all live in physical order
-    sigma = _stride_tiles(tile_group)
-    if not np.array_equal(sigma, np.arange(T)):
-        plo_arr = plo_arr[sigma]
-        low = low[sigma]
-        vals3 = vals3[sigma]
-        tile_group = tile_group[sigma]
-        dest = dest.reshape(T, DELTA_TILE)[sigma].reshape(-1)
-        cols_at_pos = cols_at_pos.reshape(T, DELTA_TILE)[sigma].reshape(-1)
+    for p_ in parts:
+        T_p = p_["plo"].size
+        sigma = _stride_tiles(p_["tg"])
+        if not np.array_equal(sigma, np.arange(T_p)):
+            for k_ in ("plo", "low", "vals3", "tg"):
+                p_[k_] = p_[k_][sigma]
+            p_["dest"] = p_["dest"].reshape(
+                T_p, DELTA_TILE)[sigma].reshape(-1)
+            p_["cap"] = p_["cap"].reshape(
+                T_p, DELTA_TILE)[sigma].reshape(-1)
+
+    # fold-major merge of the parts' tiles at FOLD-SPAN granularity: a
+    # part's fold span stays physically contiguous after _stride_tiles
+    # (sigma permutes only within spans), so each merged slice is a
+    # contiguous part-local tile range [lo, hi)
+    t_counts = [p_["plo"].size for p_ in parts]
+    spans = []              # (fold, part, lo, hi) part-local ranges
+    for i_, p_ in enumerate(parts):
+        tg_p = p_["tg"]
+        if tg_p.size == 0:
+            continue
+        b_ = np.concatenate(
+            [[0], np.flatnonzero(tg_p[1:] != tg_p[:-1]) + 1,
+             [tg_p.size]])
+        for lo_, hi_ in zip(b_[:-1], b_[1:]):
+            spans.append((int(tg_p[lo_]), i_, int(lo_), int(hi_)))
+    spans.sort()
+    inter = tuple((pid, lo_, hi_) for _f, pid, lo_, hi_ in spans)
+    part_bases = np.cumsum([0] + t_counts)
+    morder = np.concatenate(
+        [np.arange(lo_, hi_, dtype=np.int64) + part_bases[pid]
+         for _f, pid, lo_, hi_ in spans])
+    T = int(morder.size)
+    fold_cat = np.concatenate([p_["tg"] for p_ in parts])
+    part_cat = np.concatenate([np.full(t, i, dtype=np.int64)
+                               for i, t in enumerate(t_counts)])
+    tile_group = fold_cat[morder]
+    part_of = part_cat[morder]
+    dest = np.concatenate([p_["dest"].reshape(-1, DELTA_TILE)
+                           for p_ in parts])[morder].reshape(-1)
+    cols_at_pos = np.concatenate([p_["cap"].reshape(-1, DELTA_TILE)
+                                  for p_ in parts])[morder].reshape(-1)
+    vals_flat = np.concatenate(
+        [p_["vals3"].reshape(-1, DELTA_TILE)
+         for p_ in parts])[morder].reshape(-1)
 
     # tile-aligned chunk ranges: cut where the (pre-spill) fold group of
     # the tile changes, then at CHUNK_SRC_ROWS — every cut is a multiple
@@ -413,38 +536,57 @@ def build_fused_delta(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
         g1_all[a0:a1] = arrs_i["g1"][:S1c]
 
     D2R = metas[0][3]
-    # pad the K1 streams to a whole number of grouped grid steps (dummy
-    # tiles: g1 = -1 masks every lane, vals are zero)
-    T_pad = -(-T // K1_GT) * K1_GT
-    mg = pack_k1_meta(low, g1_all.reshape(T, 8, L))
-    plo_p, mg_p, vals_p = plo_arr, mg, vals3
-    if T_pad != T:
-        plo_p = np.concatenate([plo_arr,
-                                np.zeros(T_pad - T, dtype=np.int32)])
-        mg_p = np.concatenate([mg, np.zeros((T_pad - T, 8, L),
-                                            dtype=np.int32)])
-        vals_p = np.concatenate([vals3, np.zeros((T_pad - T, 8, L),
-                                                 dtype=vals3.dtype)])
-    arrays: Dict[str, np.ndarray] = {
-        "plo": plo_p,
-        "mg": mg_p,
-        "vals": vals_p,
-    }
+    # per-part K1 streams, each padded to a whole number of grouped grid
+    # steps (dummy tiles: g1 = -1 masks every lane, vals are zero); the
+    # part's G1 rows come from its tiles' MERGED positions
+    g1_t = g1_all.reshape(T, 8, L)
+    arrays: Dict[str, np.ndarray] = {}
+    part_pads = []
+    for i_, p_ in enumerate(parts):
+        pos_p = np.flatnonzero(part_of == i_)
+        mg = pack_k1_meta(p_["low"], g1_t[pos_p])
+        T_p = p_["plo"].size
+        T_pp = -(-T_p // K1_GT) * K1_GT
+        plo_p, mg_p, vals_p = p_["plo"], mg, p_["vals3"]
+        if T_pp != T_p:
+            plo_p = np.concatenate(
+                [plo_p, np.zeros(T_pp - T_p, dtype=np.int32)])
+            mg_p = np.concatenate(
+                [mg_p, np.zeros((T_pp - T_p, 8, L), dtype=np.int32)])
+            vals_p = np.concatenate(
+                [vals_p, np.zeros((T_pp - T_p, 8, L),
+                                  dtype=vals_p.dtype)])
+        sfx = "" if i_ == 0 else "2"
+        arrays["plo" + sfx] = plo_p
+        arrays["mg" + sfx] = mg_p
+        arrays["vals" + sfx] = vals_p
+        part_pads.append(T_pp)
+    T_pad = part_pads[0]
+    q_val, npages_val = parts[0]["q"], parts[0]["npages"]
     inst_meta = []
     for i, (meta_i, arrs_i) in enumerate(zip(metas, arrs_list)):
-        S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1 = meta_i
+        S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1 = meta_i[:9]
+        um = meta_i[9] if len(meta_i) > 9 else 0
         if D2Ri != D2R:
             return None, None
         arrays[f"g2a_{i}"] = arrs_i["g2a"].reshape(L, A2R, L)
-        arrays[f"g2b_{i}"] = arrs_i["g2b"].reshape(L, W2, L)
+        g2b3 = arrs_i["g2b"].reshape(L, W2, L)
+        arrays[f"g2b_{i}"] = (_g2b_lane_offset(g2b3, A2R)
+                              if um & 1 else g2b3)
         arrays[f"g2c_{i}"] = arrs_i["g2c"].reshape(L, D2R, L)
         g3 = arrs_i["g3"]                      # (K, Dp, L)
-        g3p = np.full((g3.shape[0], D2R * L, L), -1, dtype=np.int8)
+        # the D2R*L pad rows keep -1 wires: they map to y rows that are
+        # sliced off, but an unmasked gather would still READ them, so
+        # only rows < Dq-derived coverage matter; pad rows must stay 0.
+        # Unmasked g3 remains safe because pad PAGES have all-zero E2
+        # rows (no element routes there), so any lane reads 0.
+        g3p = np.full((g3.shape[0], D2R * L, L),
+                      0 if (um & 2) else -1, dtype=np.int8)
         g3p[:, : g3.shape[1]] = g3
         # dest-page-major (D2R, K, L, L): one contiguous DMA per K3 step
         arrays[f"g3_{i}"] = np.ascontiguousarray(
             g3p.reshape(g3.shape[0], D2R, L, L).transpose(1, 0, 2, 3))
-        inst_meta.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1))
+        inst_meta.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1, um))
 
     # residual (over-capacity) elements: their products are recomputed in
     # XLA from (col, val) — the fused kernels never materialize products
@@ -453,7 +595,7 @@ def build_fused_delta(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
         arrays["res_cols"] = np.minimum(cols_at_pos[flat_pos],
                                         ncols - 1).astype(np.int32)
         arrays["res_dest"] = res_dest.astype(np.int32)
-        arrays["res_vals"] = vals3.reshape(-1)[flat_pos]
+        arrays["res_vals"] = vals_flat[flat_pos]
     # unpageable spill -> standard XLA delta path (sorted by row)
     n_left = int(leftover.size)
     if n_left:
@@ -467,8 +609,12 @@ def build_fused_delta(cols: np.ndarray, rows: np.ndarray, vals: np.ndarray,
     arrays["_dest"] = dest
     arrays["_tile_group"] = tile_group
     arrays["_cols_at_pos"] = cols_at_pos
+    arrays["_vals_flat"] = vals_flat
     meta = (T_pad, q_val, npages_val, tuple(inst_meta),
             int(res_pos.size), n_left, style)
+    if len(parts) > 1:
+        meta = meta + (((part_pads[1], parts[1]["q"],
+                         parts[1]["npages"], "lp"), inter),)
     return meta, arrays
 
 
@@ -583,18 +729,22 @@ def build_fused_run(cols_u: np.ndarray, rows_u: np.ndarray,
     D2R = metas[0][3]
     inst_meta = []
     for i, (meta_i, arrs_i) in enumerate(zip(metas, arrs_list)):
-        S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1 = meta_i
+        S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1 = meta_i[:9]
+        um = meta_i[9] if len(meta_i) > 9 else 0
         if D2Ri != D2R:
             return None, None, None, 0
         arrays[f"g2a_{i}"] = arrs_i["g2a"].reshape(L, A2R, L)
-        arrays[f"g2b_{i}"] = arrs_i["g2b"].reshape(L, W2, L)
+        g2b3 = arrs_i["g2b"].reshape(L, W2, L)
+        arrays[f"g2b_{i}"] = (_g2b_lane_offset(g2b3, A2R)
+                              if um & 1 else g2b3)
         arrays[f"g2c_{i}"] = arrs_i["g2c"].reshape(L, D2R, L)
         g3 = arrs_i["g3"]
-        g3p = np.full((g3.shape[0], D2R * L, L), -1, dtype=np.int8)
+        g3p = np.full((g3.shape[0], D2R * L, L),
+                      0 if (um & 2) else -1, dtype=np.int8)
         g3p[:, : g3.shape[1]] = g3
         arrays[f"g3_{i}"] = np.ascontiguousarray(
             g3p.reshape(g3.shape[0], D2R, L, L).transpose(1, 0, 2, 3))
-        inst_meta.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1))
+        inst_meta.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1, um))
     if res_pos.size:
         # residual partials are unit TOTALS; recompute in XLA from the
         # unit head + values (punit maps grid position -> unit)
@@ -626,12 +776,15 @@ def fused_run_a1(meta, arrays, x, ncols: int, x2=None):
 
 def _e1s_from_a1(inst, arrays, A1, dt: str, D2R: int):
     """Per-instance T1 + K2 over slices of an A1 grid ((S, L) or k-major
-    (k, S, L)); returns the (e1, g3, K) list for :func:`k3_combine`."""
+    (k, S, L)); returns the (e1, g3, K, um3) list for
+    :func:`k3_combine`."""
     import jax.numpy as jnp
 
     kb = A1.shape[0] if A1.ndim == 3 else 0
     out = []
-    for i, (S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1) in enumerate(inst):
+    for i, meta_i in enumerate(inst):
+        S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1 = meta_i[:9]
+        um = meta_i[9] if len(meta_i) > 9 else 0
         if kb:
             Ai = A1[:, a0:a1]
             if S1p != S1c:
@@ -641,10 +794,10 @@ def _e1s_from_a1(inst, arrays, A1, dt: str, D2R: int):
             if S1p != S1c:
                 Ai = jnp.pad(Ai, ((0, S1p - S1c), (0, 0)))
         A1T = _build_t1(A2R, dt, kb=kb)(Ai)
-        e1 = _build_k2(A2R, W2, D2R, dt, kb=kb)(
+        e1 = _build_k2(A2R, W2, D2R, dt, kb=kb, um2=bool(um & 1))(
             A1T, arrays[f"g2a_{i}"], arrays[f"g2b_{i}"],
             arrays[f"g2c_{i}"])
-        out.append((e1, arrays[f"g3_{i}"], K))
+        out.append((e1, arrays[f"g3_{i}"], K, bool(um & 2)))
     return out
 
 
@@ -702,19 +855,23 @@ def merge_segment_plan(dest_list, nrows_part: int, max_k: int = 8,
     arrays: Dict[str, np.ndarray] = {}
     inst_meta = []
     for i, (meta_i, arrs_i) in enumerate(zip(metas, arrs_list)):
-        S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1 = meta_i
+        S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1 = meta_i[:9]
+        um = meta_i[9] if len(meta_i) > 9 else 0
         if D2Ri != D2R:
             return None
         arrays[f"g1_{i}"] = arrs_i["g1"]
         arrays[f"g2a_{i}"] = arrs_i["g2a"].reshape(L, A2R, L)
-        arrays[f"g2b_{i}"] = arrs_i["g2b"].reshape(L, W2, L)
+        g2b3 = arrs_i["g2b"].reshape(L, W2, L)
+        arrays[f"g2b_{i}"] = (_g2b_lane_offset(g2b3, A2R)
+                              if um & 1 else g2b3)
         arrays[f"g2c_{i}"] = arrs_i["g2c"].reshape(L, D2R, L)
         g3 = arrs_i["g3"]
-        g3p = np.full((g3.shape[0], D2R * L, L), -1, dtype=np.int8)
+        g3p = np.full((g3.shape[0], D2R * L, L),
+                      0 if (um & 2) else -1, dtype=np.int8)
         g3p[:, : g3.shape[1]] = g3
         arrays[f"g3_{i}"] = np.ascontiguousarray(
             g3p.reshape(g3.shape[0], D2R, L, L).transpose(1, 0, 2, 3))
-        inst_meta.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1))
+        inst_meta.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1, um))
     if res_pos.size:
         arrays["res_pos"] = res_pos
         arrays["res_dest"] = res_dest
@@ -735,8 +892,9 @@ def merged_e1s(inst_meta, arrays, src_global, nrows_part: int):
     Dq = -(-nrows_part // L)
     D2R = -(-Dq // L)
     out = []
-    for i, (S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1) in enumerate(
-            inst_meta):
+    for i, meta_i in enumerate(inst_meta):
+        S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1 = meta_i[:9]
+        um = meta_i[9] if len(meta_i) > 9 else 0
         if kb:
             Si = src_global[:, a0:a1]
             if S1p != S1c:
@@ -748,10 +906,10 @@ def merged_e1s(inst_meta, arrays, src_global, nrows_part: int):
         A1 = _build_lane_gather(S1p, 1, dt, kb=kb)(
             Si, jnp.asarray(arrays[f"g1_{i}"])[None])
         A1T = _build_t1(A2R, dt, kb=kb)(A1)
-        e1 = _build_k2(A2R, W2, D2R, dt, kb=kb)(
+        e1 = _build_k2(A2R, W2, D2R, dt, kb=kb, um2=bool(um & 1))(
             A1T, arrays[f"g2a_{i}"], arrays[f"g2b_{i}"],
             arrays[f"g2c_{i}"])
-        out.append((e1, arrays[f"g3_{i}"], K))
+        out.append((e1, arrays[f"g3_{i}"], K, bool(um & 2)))
     return out
 
 
@@ -952,11 +1110,48 @@ def _build_k1(T: int, q: int, style: str, dtype_str: str, kb: int = 0):
 # K2: the fused middle stage (per outer color, VMEM-resident)
 # ---------------------------------------------------------------------------
 
+def _k2_gba(A2R: int, GC: int = 8) -> int:
+    """Colors per FIRST-stage batched transpose in K2's unmasked path:
+    the largest power of two <= min(GC, 128 // ceil8(A2R)).  Shared by
+    the kernel and :func:`_g2b_lane_offset` (the wires bake the batch
+    lane offset in, so the kernel gathers straight off the batched
+    transpose with zero extra ops)."""
+    A2R8 = -(-A2R // 8) * 8
+    g = min(GC, max(1, L // A2R8))
+    return 1 << (g.bit_length() - 1)
+
+
+def _g2b_lane_offset(g2b3: np.ndarray, A2R: int) -> np.ndarray:
+    """Bake the um2 first-transpose batch offset into g2b wires.
+
+    In the unmasked K2, color c's transposed C1 block sits at lanes
+    [(c % GBa) * A2R8, ...) of the shared (128, 128) batched transpose,
+    so each wire value (an asr < A2R) shifts by that offset.  Only
+    applied by planners that set ``um & 1`` — masked (stacked/legacy)
+    plans keep raw wires and the per-color padT path."""
+    GBa = _k2_gba(A2R)
+    if GBa == 1:
+        return g2b3
+    A2R8 = -(-A2R // 8) * 8
+    off = ((np.arange(L) % GBa) * A2R8).astype(np.int16)
+    out = g2b3.astype(np.int16) + off[:, None, None]
+    assert int(out.max(initial=0)) < L and int(g2b3.min(initial=0)) >= 0
+    return out.astype(np.int8)
+
+
 @functools.lru_cache(maxsize=128)
-def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str, kb: int = 0):
+def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str, kb: int = 0,
+              um2: bool = False):
     """``kb`` > 0: SpMM k-batch — grid grows an innermost k axis; the
     g2a/g2b/g2c wire blocks are indexed by color only, so Mosaic re-reads
-    them once per color instead of once per column."""
+    them once per color instead of once per column.
+
+    ``um2``: plan-time remap guarantees no -1 wires (every unused wire
+    points at a zero-value lane; ``route.build_scatter_plan``), so the
+    gathers drop their maximum+where mask ops AND the first per-color
+    padT transposes batch into full (128, 128) squares (GBa colors per
+    transpose, g2b wires pre-offset by :func:`_g2b_lane_offset`).
+    PROFILE_r05: K2 was the top op-bound kernel (60 us on headline)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -972,9 +1167,13 @@ def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str, kb: int = 0):
             # degenerate fold instances produce 1-row stages
             x = jnp.concatenate([x, jnp.zeros((8 - r, L), dtype)], axis=0)
             idx = jnp.concatenate(
-                [idx, jnp.full((8 - r, L), -1, jnp.int32)], axis=0)
-        g = jnp.take_along_axis(x, jnp.maximum(idx, 0), axis=1)
-        out = jnp.where(idx >= 0, g, jnp.zeros((), dtype))
+                [idx, jnp.zeros((8 - r, L), jnp.int32)
+                 if um2 else jnp.full((8 - r, L), -1, jnp.int32)], axis=0)
+        if um2:
+            out = jnp.take_along_axis(x, idx, axis=1)
+        else:
+            g = jnp.take_along_axis(x, jnp.maximum(idx, 0), axis=1)
+            out = jnp.where(idx >= 0, g, jnp.zeros((), dtype))
         return out[:r] if r < 8 else out
 
     def padT(x):
@@ -997,22 +1196,57 @@ def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str, kb: int = 0):
 
     GC = 8  # colors per grid step: amortizes the per-step DMA overhead
 
+    A2R8 = -(-A2R // 8) * 8
+    GBa = _k2_gba(A2R, GC)                  # first-transpose batch
     D2R8 = -(-D2R // 8) * 8
     GB = max(1, L // D2R8)                  # colors batched per transpose
 
     def kernel(a1t_ref, g2a_ref, g2b_ref, g2c_ref, out_ref):
         a1t_b = a1t_ref[0] if kb else a1t_ref
-        Ds = []
-        for cl in range(GC):
-            B = a1t_b[:, cl, :]             # (A2R, 128) rows asr
-            C1 = mtake(B, g2a_ref[cl])      # lanes c2
-            C2p = padT(C1)                  # (128, 128) rows c2, lanes asr
-            D1 = mtake(C2p[:W2], g2b_ref[cl])   # (W2, 128) lanes dsr
-            Dsl = D1[:, :D2R]               # only dest sublanes are live
-            if D2R8 != D2R:
-                Dsl = jnp.concatenate(
-                    [Dsl, jnp.zeros((W2, D2R8 - D2R), dtype)], axis=1)
-            Ds.append(Dsl)
+        if um2 and GBa > 1:
+            # pass 1: per-color g2a gathers (unmasked)
+            C1s = [mtake(a1t_b[:, cl, :], g2a_ref[cl])
+                   for cl in range(GC)]
+            # pass 2: ONE full-square transpose per GBa colors; color
+            # j's block lands at lanes [j*A2R8, ...) (g2b pre-offset)
+            C2ps = []
+            for b0 in range(0, GC, GBa):
+                parts = []
+                for j in range(GBa):
+                    c1 = C1s[b0 + j]
+                    if A2R8 != A2R:
+                        c1 = jnp.concatenate(
+                            [c1, jnp.zeros((A2R8 - A2R, L), dtype)],
+                            axis=0)
+                    parts.append(c1)
+                blkA = (jnp.concatenate(parts, axis=0)
+                        if GBa > 1 else parts[0])
+                if GBa * A2R8 < L:
+                    blkA = jnp.concatenate(
+                        [blkA, jnp.zeros((L - GBa * A2R8, L), dtype)],
+                        axis=0)
+                C2ps.append(blkA.T)         # (128, 128)
+            Ds = []
+            for cl in range(GC):
+                D1 = mtake(C2ps[cl // GBa][:W2], g2b_ref[cl])
+                Dsl = D1[:, :D2R]
+                if D2R8 != D2R:
+                    Dsl = jnp.concatenate(
+                        [Dsl, jnp.zeros((W2, D2R8 - D2R), dtype)],
+                        axis=1)
+                Ds.append(Dsl)
+        else:
+            Ds = []
+            for cl in range(GC):
+                B = a1t_b[:, cl, :]         # (A2R, 128) rows asr
+                C1 = mtake(B, g2a_ref[cl])  # lanes c2
+                C2p = padT(C1)              # (128, 128) rows c2, lanes asr
+                D1 = mtake(C2p[:W2], g2b_ref[cl])   # (W2, 128) lanes dsr
+                Dsl = D1[:, :D2R]           # only dest sublanes are live
+                if D2R8 != D2R:
+                    Dsl = jnp.concatenate(
+                        [Dsl, jnp.zeros((W2, D2R8 - D2R), dtype)], axis=1)
+                Ds.append(Dsl)
         # Mosaic's NARROW transposes are slower per call than full
         # squares (measured: (128,8).T 177ns vs (128,128).T 127ns), so
         # the per-color (W2, D2R) transposes batch into ONE near-square
@@ -1053,7 +1287,7 @@ def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str, kb: int = 0):
                 (1, GC, D2R, L), lambda c, k_: (k_, c, 0, 0),
                 memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((kb, L, D2R, L), dtype),
-            name=f"k2_middle_k{kb}",
+            name=f"k2_middle_k{kb}" + ("_um" if um2 else ""),
         )
         return call
     call = pl.pallas_call(
@@ -1074,7 +1308,7 @@ def _build_k2(A2R: int, W2: int, D2R: int, dtype_str: str, kb: int = 0):
         out_specs=pl.BlockSpec((GC, D2R, L), lambda c: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, D2R, L), dtype),
-        name="k2_middle",
+        name="k2_middle" + ("_um" if um2 else ""),
     )
     return call
 
@@ -1213,11 +1447,19 @@ def _build_k3(D2R: int, inst_ks: Tuple[int, ...],
         for i in range(I):
             e1i = e1s[i][0] if kb else e1s[i][...]
             E2blk = e1i.T                      # (pages, colors)
-            for k in range(inst_ks[i]):
+            K_i, um3 = inst_ks[i]
+            for k in range(K_i):
                 idx = g3s[i][0, k].astype(jnp.int32)
-                g = jnp.take_along_axis(E2blk, jnp.maximum(idx, 0), axis=1)
-                total = total + jnp.where(idx >= 0, g,
-                                          jnp.zeros((), dtype))
+                if um3:
+                    # plan-time remap guarantees every wire points at a
+                    # zero E2 lane when unused — no mask ops
+                    total = total + jnp.take_along_axis(E2blk, idx,
+                                                        axis=1)
+                else:
+                    g = jnp.take_along_axis(E2blk, jnp.maximum(idx, 0),
+                                            axis=1)
+                    total = total + jnp.where(idx >= 0, g,
+                                              jnp.zeros((), dtype))
         # --- DIA diagonals: dv * shifted x windows ---
         if dia_offsets:
             for k in range(len(dia_offsets)):
@@ -1246,7 +1488,7 @@ def _build_k3(D2R: int, inst_ks: Tuple[int, ...],
         return (lambda i_, c: f(i_)) if kb else f
 
     in_specs = []
-    for i, K in enumerate(inst_ks):
+    for i, (K, _um3) in enumerate(inst_ks):
         # E1 arrives reshaped ([kb,] L, D2R*L): a (128, 128) column block
         # per dest-page step (a (L, 1, L) block of the 3-D form would
         # break Mosaic's block-shape divisibility rule on the middle dim)
@@ -1384,15 +1626,41 @@ def _k1_x2(x, ncols: int, q: int, npages: int, style: str, x2):
 
 def fused_delta_a1(meta, arrays, x, ncols: int, x2=None):
     """K1 only: the delta segment's (T*8, L) routed/raw grid (k-major
-    SpMM input (k, ncols) yields (k, T*8, L))."""
+    SpMM input (k, ncols) yields (k, T*8, L)).
+
+    Hybrid (meta[7] set): two K1 calls — the mean-capped lp bulk and
+    the big-superblock lp tail — whose outputs re-interleave fold-major
+    through the static slice list, so downstream (T1/K2/route) sees one
+    fold-contiguous grid."""
+    import jax.numpy as jnp
+
     T, q, npages = meta[:3]
     style = meta[6] if len(meta) > 6 else "sl"
+    pm = meta[7] if len(meta) > 7 else None
     kb = x.shape[0] if x.ndim == 2 else 0
     dt = str(np.dtype(x.dtype))
-    x2 = _k1_x2(x, ncols, q, npages, style, x2)
-    a1 = _build_k1(T, q, style, dt, kb=kb)(arrays["plo"], arrays["mg"],
-                                           arrays["vals"], x2)
-    return a1.reshape(kb, T * 8, L) if kb else a1.reshape(T * 8, L)
+    if pm is None:
+        x2 = _k1_x2(x, ncols, q, npages, style, x2)
+        a1 = _build_k1(T, q, style, dt, kb=kb)(
+            arrays["plo"], arrays["mg"], arrays["vals"], x2)
+        return a1.reshape(kb, T * 8, L) if kb else a1.reshape(T * 8, L)
+    (T2, q2, npages2, style2), inter = pm
+    # one shared page grid, aligned for the LARGER window (powers of 2:
+    # the bigger q8 pad satisfies both parts' BlockSpec divisibility)
+    x2 = _k1_x2(x, ncols, max(q, q2), max(npages, npages2), "lp", x2)
+    a1a = _build_k1(T, q, style, dt, kb=kb)(
+        arrays["plo"], arrays["mg"], arrays["vals"], x2)
+    a1b = _build_k1(T2, q2, style2, dt, kb=kb)(
+        arrays["plo2"], arrays["mg2"], arrays["vals2"], x2)
+    segs = []
+    for pid, lo, hi in inter:
+        src = a1a if pid == 0 else a1b
+        segs.append(src[:, lo:hi] if kb else src[lo:hi])
+    a1 = (jnp.concatenate(segs, axis=1 if kb else 0)
+          if len(segs) > 1 else segs[0])
+    Ttot = sum(hi - lo for _, lo, hi in inter)
+    return (a1.reshape(kb, Ttot * 8, L) if kb
+            else a1.reshape(Ttot * 8, L))
 
 
 def fused_delta_e1s(meta, arrays, x, ncols: int, nrows_part: int,
@@ -1446,19 +1714,23 @@ def plan_partial_segment(dest_flat: np.ndarray, n_dest: int,
     arrays: Dict[str, np.ndarray] = {}
     inst_meta = []
     for i, (meta_i, arrs_i) in enumerate(zip(metas, arrs_list)):
-        S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1 = meta_i
+        S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1 = meta_i[:9]
+        um = meta_i[9] if len(meta_i) > 9 else 0
         if D2Ri != D2R:
             return None
         arrays[f"g1_{i}"] = arrs_i["g1"]
         arrays[f"g2a_{i}"] = arrs_i["g2a"].reshape(L, A2R, L)
-        arrays[f"g2b_{i}"] = arrs_i["g2b"].reshape(L, W2, L)
+        g2b3 = arrs_i["g2b"].reshape(L, W2, L)
+        arrays[f"g2b_{i}"] = (_g2b_lane_offset(g2b3, A2R)
+                              if um & 1 else g2b3)
         arrays[f"g2c_{i}"] = arrs_i["g2c"].reshape(L, D2R, L)
         g3 = arrs_i["g3"]
-        g3p = np.full((g3.shape[0], D2R * L, L), -1, dtype=np.int8)
+        g3p = np.full((g3.shape[0], D2R * L, L),
+                      0 if (um & 2) else -1, dtype=np.int8)
         g3p[:, : g3.shape[1]] = g3
         arrays[f"g3_{i}"] = np.ascontiguousarray(
             g3p.reshape(g3.shape[0], D2R, L, L).transpose(1, 0, 2, 3))
-        inst_meta.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1))
+        inst_meta.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1, um))
     if res_pos.size:
         arrays["res_pos"] = res_pos
         arrays["res_dest"] = res_dest
@@ -1478,8 +1750,9 @@ def partial_segment_e1s(inst_meta, arrays, partials_flat,
     Dq = -(-nrows_part // L)
     D2R = -(-Dq // L)
     out = []
-    for i, (S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1) in enumerate(
-            inst_meta):
+    for i, meta_i in enumerate(inst_meta):
+        S1c, S1p, A2R, D2Ri, Dp, K, W2, a0, a1 = meta_i[:9]
+        um = meta_i[9] if len(meta_i) > 9 else 0
         if kb:
             src2d = partials_flat[:, a0 * L: a1 * L].reshape(kb, S1c, L)
             A0 = (src2d if S1p == S1c
@@ -1491,10 +1764,10 @@ def partial_segment_e1s(inst_meta, arrays, partials_flat,
         A1 = _build_lane_gather(S1p, 1, dt, kb=kb)(
             A0, jnp.asarray(arrays[f"g1_{i}"])[None])
         A1T = _build_t1(A2R, dt, kb=kb)(A1)
-        e1 = _build_k2(A2R, W2, D2R, dt, kb=kb)(
+        e1 = _build_k2(A2R, W2, D2R, dt, kb=kb, um2=bool(um & 1))(
             A1T, arrays[f"g2a_{i}"], arrays[f"g2b_{i}"],
             arrays[f"g2c_{i}"])
-        out.append((e1, arrays[f"g3_{i}"], K))
+        out.append((e1, arrays[f"g3_{i}"], K, bool(um & 2)))
     return out
 
 
@@ -1528,11 +1801,11 @@ def k3_combine(e1_g3, dia_pack, x, nrows_part: int, ncols: int):
     else:
         xrb, nb_xr = None, 1
         anti_rebased = ()
-    inst_ks = tuple(K for _, _, K in e1_g3)
+    inst_ks = tuple((K, bool(um3)) for _, _, K, um3 in e1_g3)
     call = _build_k3(D2R, inst_ks, dia_offsets, anti_rebased,
                      nb_x, nb_xr, dt, kb=kb)
     ops = []
-    for e1, g3, _K in e1_g3:
+    for e1, g3, _K, _um3 in e1_g3:
         e1r = (e1.reshape(kb, L, D2R * L) if kb
                else e1.reshape(L, D2R * L))
         ops.extend([e1r, g3])

@@ -47,13 +47,14 @@ MAX_DEST_ROWS = 16384           # D' cap: n_dest <= 2,097,152
 CHUNK_SRC_ROWS = 16384          # source rows per pipeline chunk
 MAX_FOLDS = 8                   # network instances per chunk
 MIN_ELEMS = 1 << 15             # below this the XLA scatter is cheaper
-# A fold instance's cost is ~flat (K2's color-grid transposes, ~50-60 us
-# measured r3/r4) regardless of how few edges it carries, while a
-# residual element costs ~13 ns (serialized gather + scatter-add).  A
-# fold under ~4,500 edges is cheaper as residual; 4096 leaves margin.
-# Measured on the blocky bench matrix: fold-1 carries 1,992 edges yet
-# cost a full G1+T1+K2 pass (~60 us) before this demotion.
-RES_DEMOTE_ELEMS = 4096
+# A fold instance's cost is ~flat (K2's color-grid passes + the
+# D2R-sized E1/g3 streams) regardless of how few edges it carries,
+# while a residual element costs ~13 ns (serialized gather +
+# scatter-add).  r4 measured the instance at ~50-60 us (threshold
+# 4096); the r5 unmasked kernels + batched transposes cut it to
+# ~25-30 us, so the break-even moved to ~2k edges — diagc's 4,083-edge
+# fold is now cheaper kept as an instance than serialized (53 us res).
+RES_DEMOTE_ELEMS = 2048
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -185,7 +186,26 @@ def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
             pos = pos0[sel]
             d = dv[sel]
             kf = _rank_within(d)
-            over = kf >= max_k
+            # Adaptive K (r5): a g3 plane costs ~D2R*60 ns per SpMV
+            # (its (D2R, L, L) i8 read + the K3 lane gathers), while a
+            # residual element costs ~13 ns on the serialized XLA path.
+            # Shave rank planes whose element count is cheaper as
+            # residuals (headline: K 6 -> 4 for ~230 extra residuals,
+            # PROFILE_r05 g3 was 6.3 MB at 6% fill).
+            k_cap = max_k
+            if kf.size:
+                D2R_ = -(-Dq // L)
+                plane_el = max(1, int(D2R_ * 60 / 13))
+                hist = np.bincount(np.minimum(kf, max_k))
+                tail_counts = np.cumsum(hist[::-1])[::-1]
+                while k_cap > 1:
+                    c = k_cap - 1
+                    cnt = (int(tail_counts[c])
+                           if c < tail_counts.size else 0)
+                    if cnt >= plane_el:
+                        break
+                    k_cap -= 1
+            over = kf >= k_cap
             if over.any():
                 res_idx = sel[over]
                 res[res_idx] = True
@@ -236,7 +256,56 @@ def build_scatter_plan(dest: np.ndarray, n_dest: int, max_k: int = 8,
             g3 = np.full((K, Dp, L), -1, dtype=np.int8)
             g3[kf, page, j] = c.astype(np.int8)
 
-            metas.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1))
+            # --- unmask remap: every -1 wire repoints at a lane whose
+            # VALUE is a guaranteed zero, so the apply kernels drop the
+            # maximum+where mask ops (K2 was op-bound, PROFILE_r05).
+            # For g2a/g2b/g2c a zero lane exists whenever a -1 does:
+            # the value-row occupancy count equals the wire-row use
+            # count (each element contributes exactly one of each), so
+            # "used < 128" on the wire side implies an unoccupied (=
+            # exact zero) value lane.  g3 lacks that bijection — rank
+            # planes split a page's elements — so it only unmasks when
+            # every page with a -1 has an unused color lane (bit 1 of
+            # the ``um`` bitmask appended to the meta). ---
+            occ_a = np.zeros((L * A2R, L), dtype=bool)
+            occ_a[c * A2R + asr, a % L] = True
+            occ_b = np.zeros((L * W2, L), dtype=bool)
+            occ_b[c * W2 + c2, asr] = True
+            # g2b remap targets must stay under ceil8(A2R): the unmasked
+            # K2 batches several colors' transposed C1 blocks into one
+            # (128, 128) square and bakes a per-color lane offset into
+            # the wires (fused._g2b_lane_offset) — lanes past the A2R8
+            # pad belong to the NEXT color's block.  Lanes [A2R, A2R8)
+            # are that block's zero pad, so they are safe targets.
+            a2r8 = min(L, -(-A2R // 8) * 8)
+            occ_b[:, a2r8:] = True
+            occ_c = np.zeros((L * D2R, L), dtype=bool)
+            occ_c[c * D2R + dsr, c2] = True
+            um = 1
+            for w, occ in ((g2a, occ_a), (g2b, occ_b), (g2c, occ_c)):
+                zl = np.argmin(occ, axis=1)      # first zero-value lane
+                bad = occ[np.arange(occ.shape[0]), zl]  # row fully used
+                need = w == -1
+                rows_need = need.any(axis=1)
+                if bool((bad & rows_need).any()):  # cannot happen; guard
+                    um = 0
+                    break
+                w[need] = np.broadcast_to(
+                    zl.astype(np.int8)[:, None], w.shape)[need]
+            if um:
+                occ_p = np.zeros((Dp, L), dtype=bool)
+                occ_p[page, c] = True
+                zl3 = np.argmin(occ_p, axis=1)
+                bad3 = occ_p[np.arange(Dp), zl3]
+                need3 = g3 == -1
+                rows3 = need3.any(axis=(0, 2))
+                if not bool((bad3 & rows3).any()):
+                    g3[need3] = np.broadcast_to(
+                        zl3.astype(np.int8)[None, :, None],
+                        g3.shape)[need3]
+                    um |= 2
+
+            metas.append((S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1, um))
             arrays.append({"g1": g1, "g2a": g2a, "g2b": g2b, "g2c": g2c,
                            "g3": g3})
         res_pos_all.append(pos0[res] + e0)
@@ -319,7 +388,7 @@ def _take_masked_np(x: np.ndarray, idx: np.ndarray) -> np.ndarray:
 
 def _route_instance_np(src2d, arrs, meta):
     """NumPy reference of one instance's pipeline (tests / verification)."""
-    S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1 = meta
+    S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1 = meta[:9]
     A0 = np.zeros((S1p, L), dtype=src2d.dtype)
     A0[:S1c] = src2d
     A1 = _take_masked_np(A0, arrs["g1"])
@@ -346,8 +415,7 @@ def apply_scatter_plan_np(metas, arrays, src: np.ndarray,
                           n_dest: int) -> np.ndarray:
     y = np.zeros(n_dest, dtype=src.dtype)
     for meta, arrs in zip(metas, arrays):
-        S1c, a0 = meta[0], meta[-2]
-        a1 = meta[-1]
+        S1c, a0, a1 = meta[0], meta[7], meta[8]
         src2d = src[a0 * L: a1 * L].reshape(S1c, L)
         y = y + _route_instance_np(src2d, arrs, meta)[:n_dest]
     return y
@@ -439,7 +507,7 @@ def apply_scatter_plan(metas, arrays, src, n_dest: int):
 
     y = None
     for meta, arrs in zip(metas, arrays):
-        S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1 = meta
+        S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1 = meta[:9]
         src2d = src[a0 * L: a1 * L].reshape(S1c, L)
         A0 = jnp.zeros((S1p, L), dtype=src2d.dtype).at[:S1c].set(src2d)
         A1 = take2(A0, arrs["g1"])

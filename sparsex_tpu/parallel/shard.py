@@ -730,8 +730,11 @@ def stack_fused_delta(arrays, meta, shards: List[CsxTables],
             continue
         cols, rows, vals = _shard_arrays(t)
         fold = route._rank_within(rows // 128) // 128
-        lp = _lane_place_layout(cols, rows, vals, fold, ncols, max_rows)
-        if lp is None:
+        # exact multi-round placement: the SPMD stacker has no hybrid
+        # tail part, and dropping leftovers would lose elements
+        lp = _lane_place_layout(cols, rows, vals, fold, ncols, max_rows,
+                                n_rounds=4, exact_last=True)
+        if lp is None or lp[7].size:
             style = "sl"
             break
         (p0, low, vals3, dest, _tg, _q, npages, _left, cap) = lp
@@ -875,7 +878,7 @@ def stack_fused_delta(arrays, meta, shards: List[CsxTables],
         """Pad one instance to the slot template and pre-reshape into
         the merged_e1s forms (g2a (L,A2R,L) ... g3 (D2R,K,L,L))."""
         S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1 = slot
-        _, _, _, _, _, Ki, W2i, _, _ = m_i
+        Ki, W2i = m_i[5], m_i[6]
         g2b = arrs_i["g2b"].reshape(L_, W2i, L_)
         if W2i != W2:
             g2b = np.pad(g2b, ((0, 0), (0, W2 - W2i), (0, 0)),
@@ -1013,7 +1016,7 @@ def stack_scatter_plans(arrays, meta, pages_key: str = "delta_pages",
 
     def pad_instance(arrs_i, m_i, slot):
         S1c, S1p, A2R, D2R, Dp, K, W2, a0, a1 = slot
-        _, _, _, _, _, Ki, W2i, _, _ = m_i
+        Ki, W2i = m_i[5], m_i[6]
         out = dict(arrs_i)
         if W2i != W2:
             g2b = out["g2b"].reshape(L, W2i, L)

@@ -617,3 +617,38 @@ def test_fused_delta_demotes_tiny_folds():
     acc = _run(meta, arrays, [], [], x, n, n)
     want = _oracle(n, n, rows, cols, vals, [], [], x)
     assert np.abs(acc - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_fused_hybrid_tail_part():
+    """Lane-clumped streams (vertical-run demotions stack 8 elements in
+    one lane class) overflow the mean-capped lp round; the overflow gets
+    the big-superblock TAIL part (meta[7]) and both K1 outputs
+    re-interleave fold-major — r5's fill fix for diagc/headline
+    (PROFILE_r05: the old one-shot cap fell to sl q=8 + 16k serialized
+    leftovers on diagc)."""
+    rng = np.random.default_rng(11)
+    n = 1 << 15
+    # vertical-run style clumps: 8 consecutive rows share one column
+    nu = 1500
+    vr = rng.integers(0, n - 8, nu)
+    vc = rng.integers(0, n, nu)
+    rows = np.concatenate([(vr[:, None] + np.arange(8)[None]).ravel(),
+                           rng.integers(0, n, 6000)])
+    cols = np.concatenate([np.repeat(vc, 8),
+                           rng.integers(0, n, 6000)])
+    key = rows.astype(np.int64) * n + cols
+    _, u = np.unique(key, return_index=True)
+    rows, cols = rows[u], cols[u]
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    meta, arrays = fused.build_fused_delta(cols.astype(np.int64),
+                                           rows.astype(np.int64), vals,
+                                           n, n)
+    assert meta is not None and meta[6] == "lp"
+    assert len(meta) > 7, "expected the hybrid tail part"
+    (T2, q2, _np2, st2), inter = meta[7]
+    assert st2 == "lp" and q2 == fused.TAIL_SBP
+    assert meta[5] == 0, "hybrid leaves no serialized leftovers"
+    x = rng.standard_normal(n).astype(np.float32)
+    acc = _run(meta, arrays, [], [], x, n, n)
+    want = _oracle(n, n, rows, cols, vals, [], [], x)
+    assert np.abs(acc - want).max() / np.abs(want).max() < 1e-5

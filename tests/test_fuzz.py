@@ -210,6 +210,7 @@ def test_fuzz_reorder_persist_roundtrip(seed, tmp_path):
 FUSED_CASES = list(itertools.product(range(4), [2, 4]))
 
 
+@pytest.mark.slow   # ~18 s/case x 8 on the 1-CPU host (quick lane skips)
 @pytest.mark.parametrize("seed,sbp", FUSED_CASES,
                          ids=[f"s{s}-sbp{p}" for s, p in FUSED_CASES])
 def test_fuzz_fused_paths(seed, sbp, monkeypatch):

@@ -38,7 +38,7 @@ def _sync(a):
     return float(np.asarray(a).ravel()[0])
 
 
-def build(workload, k):
+def build(workload, k, spmm_k=0):
     import jax
     import jax.numpy as jnp
 
@@ -78,6 +78,22 @@ def build(workload, k):
             return y
 
         return (lambda: chained(x)), rows.size
+    if spmm_k:
+        # k-batched SpMM chain (matmat path): the budget for VERDICT r4
+        # #4 — where do the k-amortization claims break down?
+        mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
+        X = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (n, spmm_k)).astype(np.float32))
+
+        @jax.jit
+        def chained_mm(X):
+            def body(c, _):
+                Y = mat.matmat(c)
+                return Y * jax.lax.rsqrt(jnp.mean(Y * Y) + 1e-20), ()
+            Y, _ = jax.lax.scan(body, X, None, length=k)
+            return Y
+
+        return (lambda: chained_mm(X)), rows.size
     mat = CsxMatrix.from_coo(n, n, rows, cols, vals)
     tables = mat.shards[0]
     ex = mat.executors[0]
@@ -150,6 +166,8 @@ def main():
     ap.add_argument("--iters", type=int, default=64)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--top", type=int, default=24)
+    ap.add_argument("--spmm", type=int, default=0, metavar="K",
+                    help="profile the SpMM (matmat) chain at width K")
     ap.add_argument("--json", default=None,
                     help="append {workload: budget} into this JSON file")
     args = ap.parse_args()
@@ -159,10 +177,11 @@ def main():
     print(f"device: {dev} platform={dev.platform}")
 
     t0 = time.perf_counter()
-    fn, nnz = build(args.workload, args.iters)
+    fn, nnz = build(args.workload, args.iters, spmm_k=args.spmm)
     _sync(fn())   # compile
     print(f"[{args.workload}] nnz={nnz} built+compiled "
-          f"in {time.perf_counter() - t0:.1f}s")
+          f"in {time.perf_counter() - t0:.1f}s"
+          + (f" (spmm k={args.spmm})" if args.spmm else ""))
     budget = trace_budget(fn, args.iters, args.reps)
     if budget is None:
         print("no trace events captured (CPU backend?)", file=sys.stderr)
